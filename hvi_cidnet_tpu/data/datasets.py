@@ -1,0 +1,164 @@
+"""Dataset abstractions for the reference's ten training/eval corpora.
+
+Replaces the torch ``Dataset``/``DataLoader`` stack (data/LOLdataset.py,
+data/SICE_blur_SID.py, data/eval_sets.py) with plain-Python samplers that the
+threaded host pipeline (``data/pipeline.py``) drives.  Semantics preserved:
+
+* paired folder datasets (LOLv1 low/high, LOLv2 Low/Normal, LMOT dual-dir)
+  with aligned random crop + flips;
+* folder-of-folders datasets (LOL-Blur, SID, SICE) that IGNORE the sampler
+  index and draw a random scene every call, with virtual epoch lengths
+  10200/2099/4803 (SICE_blur_SID.py:19-133) and skip-missing-folder loops;
+* eval datasets: sorted file list, optional reflect pad-to-x8 returning the
+  original (h, w) for cropping after inference (eval_sets.py:9-52).
+"""
+
+from __future__ import annotations
+
+import os
+from os import listdir
+from os.path import join
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from hvi_cidnet_tpu.data.transforms import (
+    pad_to_multiple,
+    paired_random_crop_flip,
+    to_float01,
+)
+
+_IMG_EXTS = (".png", ".jpg", ".bmp", ".JPG", ".jpeg")
+
+
+def is_image_file(name: str) -> bool:
+    return name.endswith(_IMG_EXTS)
+
+
+def load_image(path: str) -> np.ndarray:
+    """Decode to RGB uint8 HWC."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def list_images(folder: str) -> List[str]:
+    return [join(folder, x) for x in listdir(folder) if is_image_file(x)]
+
+
+class PairedFolderDataset:
+    """Aligned low/high folders (LOLv1 low/high, LOLv2 Low/Normal, LMOT).
+
+    Reference classes: LOL*DatasetFromFolder / LMOTDatasetFromFolder
+    (data/LOLdataset.py).  The reference hardcodes epoch lengths (485/685/900);
+    we default to the actual file count but accept an override for strict
+    epoch-length parity.
+    """
+
+    def __init__(self, low_dir: str, high_dir: str, crop_size: int = 256, length: Optional[int] = None):
+        self.low_files = sorted(list_images(low_dir))
+        self.high_files = sorted(list_images(high_dir))
+        if not self.low_files:
+            raise FileNotFoundError(f"no images in {low_dir}")
+        self.crop_size = crop_size
+        self._length = length if length is not None else len(self.low_files)
+
+    def __len__(self) -> int:
+        return self._length
+
+    def sample(self, index: int, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+        i = index % len(self.low_files)
+        im1 = load_image(self.low_files[i])
+        im2 = load_image(self.high_files[i])
+        im1, im2 = paired_random_crop_flip(im1, im2, self.crop_size, rng)
+        return to_float01(im1), to_float01(im2)
+
+
+class SceneFolderDataset:
+    """Folder-of-folders stochastic sampler (LOL-Blur / SID / SICE).
+
+    ``kind``:
+      * ``"blur"``: low_blur/NNNN vs high_sharp_scaled/NNNN, frame-aligned
+        pairs, scenes 1..260, virtual len 10200 (SICE_blur_SID.py:13-50);
+      * ``"sid"``: short/NNNNN vs long/NNNNN, GT = first long frame,
+        scenes 1..234, virtual len 2099 (:53-92);
+      * ``"sice"``: <root>/N vs <root>/../label/N.JPG, scenes 1..591,
+        virtual len 4803 (:96-133).
+
+    The index argument is ignored — sampling is purely stochastic, exactly
+    like the reference's ``while True`` + fresh ``random.randint`` loops.
+    """
+
+    _SPEC = {
+        "blur": dict(n_scenes=260, length=10200, zfill=4),
+        "sid": dict(n_scenes=234, length=2099, zfill=5),
+        "sice": dict(n_scenes=591, length=4803, zfill=0),
+    }
+
+    def __init__(self, data_dir: str, kind: str, crop_size: int = 256):
+        if kind not in self._SPEC:
+            raise ValueError(f"unknown kind {kind}")
+        self.data_dir = data_dir
+        self.kind = kind
+        self.crop_size = crop_size
+        self.spec = self._SPEC[kind]
+
+    def __len__(self) -> int:
+        return self.spec["length"]
+
+    def _scene_dirs(self, scene: int) -> Tuple[str, str]:
+        z = self.spec["zfill"]
+        name = str(scene + 1).zfill(z) if z else str(scene + 1)
+        if self.kind == "blur":
+            return join(self.data_dir, "low_blur", name), join(self.data_dir, "high_sharp_scaled", name)
+        if self.kind == "sid":
+            return join(self.data_dir, "short", name), join(self.data_dir, "long", name)
+        return join(self.data_dir, name), join(os.path.dirname(self.data_dir), "label", name + ".JPG")
+
+    def sample(self, index: int, rng: np.random.Generator) -> Tuple[np.ndarray, np.ndarray]:
+        del index  # stochastic by design (SICE_blur_SID.py:20-34)
+        for _ in range(10_000):
+            scene = int(rng.integers(0, self.spec["n_scenes"]))
+            low_dir, high_ref = self._scene_dirs(scene)
+            if not os.path.isdir(low_dir):
+                continue
+            files = sorted(list_images(low_dir))
+            if not files:
+                continue
+            j = int(rng.integers(0, len(files)))
+            im1 = load_image(files[j])
+            if self.kind == "blur":
+                gt_files = sorted(list_images(high_ref))
+                im2 = load_image(gt_files[j])
+            elif self.kind == "sid":
+                gt_files = sorted(list_images(high_ref))
+                im2 = load_image(gt_files[0])
+            else:
+                im2 = load_image(high_ref)
+            im1, im2 = paired_random_crop_flip(im1, im2, self.crop_size, rng)
+            return to_float01(im1), to_float01(im2)
+        raise FileNotFoundError(f"no usable scene folders under {self.data_dir}")
+
+
+class EvalDataset:
+    """Sorted eval files; optional pad-to-x8 with original size retained.
+
+    ``pad=False`` == DatasetFromFolderEval (eval_sets.py:35-52);
+    ``pad=True``  == SICEDatasetFromFolderEval (eval_sets.py:9-32).
+    """
+
+    def __init__(self, data_dir: str, pad: bool = False, factor: int = 8):
+        self.files = sorted(list_images(data_dir))
+        self.pad = pad
+        self.factor = factor
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def __getitem__(self, i: int):
+        img = to_float01(load_image(self.files[i]))
+        name = os.path.basename(self.files[i])
+        if self.pad:
+            img, h, w = pad_to_multiple(img, self.factor)
+            return img, name, h, w
+        return img, name

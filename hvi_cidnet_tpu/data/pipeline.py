@@ -1,0 +1,103 @@
+"""Host-side data pipeline: threaded decode/augment + prefetch to device.
+
+Replaces the reference's torch ``DataLoader(num_workers=16)`` (train.py:108)
+with a thread-pool batch producer and a device-prefetch queue.  Image decode
+(PIL) releases the GIL, so threads suffice; batches land on device (sharded
+over the mesh when one is given) while the TPU is still busy with the
+previous step — the host->HBM feed the north star calls for.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+
+
+class TrainLoader:
+    """Infinite shuffled batch iterator over a dataset with ``sample()``."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        *,
+        seed: int = 0,
+        num_threads: int = 8,
+        shuffle: bool = True,
+        prefetch: int = 2,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_threads = num_threads
+        self.prefetch = prefetch
+        self.sharding = sharding
+        self._rng = np.random.default_rng(seed)
+        self.steps_per_epoch = max(1, len(dataset) // batch_size)
+
+    def _make_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        seeds = self._rng.integers(0, 2**31, size=len(indices))
+
+        def one(args):
+            idx, s = args
+            return self.dataset.sample(int(idx), np.random.default_rng(int(s)))
+
+        with ThreadPoolExecutor(max_workers=self.num_threads) as ex:
+            pairs = list(ex.map(one, zip(indices, seeds)))
+        lows = np.stack([p[0] for p in pairs])
+        highs = np.stack([p[1] for p in pairs])
+        return lows, highs
+
+    def epoch(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        """One epoch of device-resident batches, prefetched."""
+        n = len(self.dataset)
+        order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        steps = self.steps_per_epoch
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for s in range(steps):
+                if stop.is_set():
+                    return
+                idx = order[s * self.batch_size : (s + 1) * self.batch_size]
+                lows, highs = self._make_batch(idx)
+                if self.sharding is not None:
+                    lows = jax.device_put(lows, self.sharding)
+                    highs = jax.device_put(highs, self.sharding)
+                else:
+                    lows = jax.device_put(lows)
+                    highs = jax.device_put(highs)
+                q.put((lows, highs))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+
+
+def eval_batches(dataset, sharding=None):
+    """Yield (image[1,H,W,3] on device, name, orig_h, orig_w) per eval file."""
+    for i in range(len(dataset)):
+        item = dataset[i]
+        if len(item) == 4:
+            img, name, h, w = item
+        else:
+            img, name = item
+            h, w = img.shape[:2]
+        x = img[None]
+        x = jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+        yield x, name, h, w

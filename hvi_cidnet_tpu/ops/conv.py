@@ -23,16 +23,17 @@ def conv2d(
     groups: int = 1,
 ) -> jnp.ndarray:
     """2-D convolution. ``padding`` is 'SAME', 'VALID', or explicit pairs."""
-    out = jax.lax.conv_general_dilated(
+    # No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
+    # internally and jax 0.9's conv transpose rule rejects mixed-dtype
+    # cotangents when an explicit upcast is requested.
+    return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
         window_strides=(stride, stride),
         padding=padding,
         dimension_numbers=_DN,
         feature_group_count=groups,
-        preferred_element_type=jnp.float32,
     )
-    return out.astype(x.dtype)
 
 
 def conv1x1(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:

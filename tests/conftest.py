@@ -31,9 +31,25 @@ def has_torch_reference() -> bool:
 
 @pytest.fixture(scope="session")
 def torch_reference_path():
-    """Path to the torch reference used as a parity oracle (read-only)."""
+    """Path to the torch reference used as a parity oracle (read-only).
+
+    torchvision isn't installed; the reference's ``loss.vgg_arch`` imports it
+    at module scope, so a minimal stub keeps the importable-oracle surface
+    (L1/SSIM classes) reachable.  VGGFeatureExtractor itself is never
+    constructed in tests.
+    """
     if not has_torch_reference():
         pytest.skip("torch reference not available")
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
+    if "torchvision" not in sys.modules:
+        import types
+
+        tv = types.ModuleType("torchvision")
+        tv_models = types.ModuleType("torchvision.models")
+        tv_models.vgg = types.ModuleType("torchvision.models.vgg")
+        tv.models = tv_models
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tv_models
+        sys.modules["torchvision.models.vgg"] = tv_models.vgg
     return "/root/reference"
