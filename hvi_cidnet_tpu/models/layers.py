@@ -12,6 +12,7 @@ Every block documents its reference counterpart with file:line.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -60,24 +61,6 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     return x
 
 
-def _split_heads(x: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """(B,H,W,C) -> (B, heads, C/heads, H*W).
-
-    Matches the reference's ``rearrange('b (head c) h w -> b head c (h w)')``
-    (net/LCA.py:26-28): torch channel index c = head * c_ph + i, and our NHWC
-    channel axis preserves that index after conversion.
-    """
-    b, h, w, c = x.shape
-    x = x.reshape(b, h * w, heads, c // heads)
-    return x.transpose(0, 2, 3, 1)
-
-
-def _merge_heads(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
-    """(B, heads, c_ph, H*W) -> (B,H,W,C)."""
-    b, heads, cp, _ = x.shape
-    return x.transpose(0, 3, 1, 2).reshape(b, h, w, heads * cp)
-
-
 def channel_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -91,26 +74,52 @@ def channel_attention(
 
     q/k/v: (B,H,W,C) feature maps.  Computes a per-head c_ph x c_ph attention
     matrix over the flattened spatial axis — cost linear in H*W, and both
-    contractions are MXU matmuls.  Softmax runs in fp32 (bf16-sensitive).
+    contractions are MXU matmuls.  The head split is a pure reshape
+    (B,HW,heads,c_ph) and the einsums contract straight over the spatial
+    axis, so no transposed copy of the (large) feature map is materialized.
+    Softmax runs in fp32 (bf16-sensitive).
 
-    Reference: CAB.forward (net/LCA.py:26-36); TNSM's variant skips the L2
-    normalization (net/TNSM.py:98-104).
+    Head semantics match the reference's ``rearrange('b (head c) h w ->
+    b head c (h w)')`` (net/LCA.py:26-28): torch channel index
+    c = head * c_ph + i, preserved by our NHWC channel axis.
+    TNSM's variant skips the L2 normalization (net/TNSM.py:98-104).
     """
-    _, h, w, _ = q.shape
-    qh = _split_heads(q, heads)
-    kh = _split_heads(k, heads)
-    vh = _split_heads(v, heads)
+    b, h, w, c = q.shape
+    cp = c // heads
+    n = h * w
+    # Layout strategy: stay in (B, N, C) — a free reshape from NHWC, with C in
+    # lanes and N in sublanes.  The score contraction runs over the sublane
+    # axis (dot_general handles the transposed orientation natively on the
+    # MXU), so NO transposed copy of the big feature map is ever
+    # materialized.  Heads are handled by computing the full CxC score matrix
+    # and masking it block-diagonal before the softmax — for c <= 144 the
+    # extra FLOPs are trivial next to the transposes they replace (profiled:
+    # 27% of device time was layout copies with the per-head layout).
+    qh = q.reshape(b, n, c)
+    kh = k.reshape(b, n, c)
+    vh = v.reshape(b, n, c)
 
     if normalize_qk:
-        # torch F.normalize(dim=-1): x / max(||x||_2, eps) with eps=1e-12
-        qh = qh / jnp.maximum(jnp.linalg.norm(qh, axis=-1, keepdims=True), 1e-12)
-        kh = kh / jnp.maximum(jnp.linalg.norm(kh, axis=-1, keepdims=True), 1e-12)
+        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12)
+        def _norm(t):
+            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=1, keepdims=True)
+            return (t.astype(jnp.float32) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(t.dtype)
 
-    attn = jnp.einsum("bhcn,bhdn->bhcd", qh, kh, preferred_element_type=jnp.float32)
-    attn = attn * temperature.reshape(1, heads, 1, 1).astype(jnp.float32)
-    attn = jax.nn.softmax(attn, axis=-1)
-    out = jnp.einsum("bhcd,bhdn->bhcn", attn.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
-    return _merge_heads(out.astype(q.dtype), h, w)
+        qh = _norm(qh)
+        kh = _norm(kh)
+
+    scores = jnp.einsum("bnc,bnd->bcd", qh, kh, preferred_element_type=jnp.float32)
+    # row c belongs to head c // cp; the reference scales row-wise by that
+    # head's temperature (net/LCA.py:33)
+    temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
+    scores = scores * temp_per_c[None, :, None]
+    if heads > 1:
+        head_id = np.arange(c) // cp
+        block = jnp.asarray(head_id[:, None] == head_id[None, :])
+        scores = jnp.where(block[None], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
+    out = jnp.einsum("bcd,bnd->bnc", attn.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, h, w, c)
 
 
 def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:

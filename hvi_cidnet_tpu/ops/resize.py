@@ -54,19 +54,26 @@ def resize_bilinear(
 ) -> jnp.ndarray:
     """Bilinear-resize NHWC ``x`` to (out_h, out_w), torch bit-semantics.
 
-    Interpolation runs in the input dtype (torch computes in the tensor's
-    dtype too); the two contractions hit the MXU.
+    Implemented as two small dense interpolation matmuls (each row has two
+    nonzeros but the MXU eats the dense form far faster than TPU gathers —
+    measured 82 vs 60 img/s end-to-end at 600x400 against a 2-tap
+    ``jnp.take`` formulation).  Interpolation runs in the input dtype, like
+    torch.
     """
-    _, h, w, _ = x.shape
+    b, h, w, c = x.shape
     if h == out_h and w == out_w:
         return x
     dt = x.dtype
-    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), dt)
-    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), dt)
-    # (B,H,W,C) -> (B,out_h,W,C): contract H with mh.
-    x = jnp.einsum("oh,bhwc->bowc", mh, x, preferred_element_type=jnp.float32)
-    x = jnp.einsum("pw,bhwc->bhpc", mw, x.astype(dt), preferred_element_type=jnp.float32)
-    return x.astype(dt)
+    if h != out_h:
+        mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), dt)
+        # contract H as the sublane dim of (b, h, w*c): MXU-native transposed
+        # matmul, no layout copy
+        x = jnp.einsum("oh,bhm->bom", mh, x.reshape(b, h, w * c)).reshape(b, out_h, w, c)
+    if w != out_w:
+        mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), dt)
+        # batch (b*out_h), contract W as the sublane dim of (a, w, c)
+        x = jnp.einsum("pw,awc->apc", mw, x.reshape(b * out_h, w, c)).reshape(b, out_h, out_w, c)
+    return x
 
 
 def scale_half(x: jnp.ndarray) -> jnp.ndarray:
