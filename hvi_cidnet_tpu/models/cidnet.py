@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hvi_cidnet_tpu.ops.hvi import rgb_to_hvi, hvi_to_rgb
+from hvi_cidnet_tpu.ops import hvi_pallas as _hvi_pallas
 from hvi_cidnet_tpu.ops.conv import conv3x3_replpad, conv1x1, conv2d, dwconv3x3
 from hvi_cidnet_tpu.ops.resize import resize_bilinear
 from hvi_cidnet_tpu.models.layers import (
@@ -294,7 +295,10 @@ def cidnet_forward(
     noise_maps = []
 
     k = p["trans.density_k"]
-    hvi = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
+    if _hvi_pallas.should_use_pallas():
+        hvi = _hvi_pallas.rgb_to_hvi_pallas(x, k).astype(compute_dtype)
+    else:
+        hvi = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
     i_img = hvi[..., 2:3]                          # :74
 
     i_enc0 = conv3x3_replpad(i_img, p["IE_block0.1.weight"])  # :76
@@ -387,14 +391,21 @@ def cidnet_forward(
 
     output_hvi = jnp.concatenate([hv_0, i_dec0], axis=-1) + hvi  # :119
     # PHVIT consumed the detached scalar this_k (HVI_transform.py:38,59):
-    output_rgb = hvi_to_rgb(
-        output_hvi,
-        jax.lax.stop_gradient(k),
-        gated=gates.gated,
-        gated2=gates.gated2,
-        alpha=gates.alpha,
-        alpha_s=gates.alpha_s,
-    )
+    if _hvi_pallas.should_use_pallas():
+        output_rgb = _hvi_pallas.hvi_to_rgb_pallas(
+            output_hvi, jax.lax.stop_gradient(k),
+            gated=gates.gated, gated2=gates.gated2,
+            alpha=gates.alpha, alpha_s=gates.alpha_s,
+        )
+    else:
+        output_rgb = hvi_to_rgb(
+            output_hvi,
+            jax.lax.stop_gradient(k),
+            gated=gates.gated,
+            gated2=gates.gated2,
+            alpha=gates.alpha,
+            alpha_s=gates.alpha_s,
+        )
 
     if variant == "tnsm":
         if use_tnsm and training:
