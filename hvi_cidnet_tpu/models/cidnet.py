@@ -26,8 +26,16 @@ import numpy as np
 
 from hvi_cidnet_tpu.ops.hvi import rgb_to_hvi, hvi_to_rgb
 from hvi_cidnet_tpu.ops import hvi_pallas as _hvi_pallas
-from hvi_cidnet_tpu.ops.conv import conv3x3_replpad, conv1x1, conv2d, dwconv3x3
-from hvi_cidnet_tpu.ops.resize import resize_bilinear
+from hvi_cidnet_tpu.ops.conv import (
+    CH_AXIS,
+    conv1x1,
+    conv2d,
+    conv3x3_replpad,
+    dwconv3x3,
+    internal_to_nhwc,
+    nhwc_to_internal,
+)
+from hvi_cidnet_tpu.ops.resize import resize_bilinear_nhcw
 from hvi_cidnet_tpu.models.layers import (
     Params,
     channel_attention,
@@ -214,8 +222,8 @@ def init_cidnet(key, config: CIDNetConfig = CIDNetConfig()) -> Params:
 
 def _dynamic_noise_map(p: Params, g: str, x: jnp.ndarray) -> jnp.ndarray:
     """SE-style global pooling + local noise branch (net/TNSM.py:37-57)."""
-    avg = jnp.mean(x, axis=(1, 2), keepdims=True)
-    mx = jnp.max(x, axis=(1, 2), keepdims=True)
+    avg = jnp.mean(x, axis=(1, 3), keepdims=True)  # NHCW global spatial pool
+    mx = jnp.max(x, axis=(1, 3), keepdims=True)
 
     def squeeze_excite(v):
         v = conv1x1(v, p[g + ".fc1.weight"])
@@ -237,7 +245,7 @@ def _noise_aware_attention(p: Params, a: str, x, y, noise_map, heads: int) -> jn
     """
     q = dwconv3x3(conv1x1(x, p[a + ".q.weight"]), p[a + ".q_dwconv.weight"])
     kv = dwconv3x3(conv1x1(y, p[a + ".kv.weight"]), p[a + ".kv_dwconv.weight"])
-    k, v = jnp.split(kv, 2, axis=-1)
+    k, v = jnp.split(kv, 2, axis=CH_AXIS)
     if noise_map is not None:
         keep = jax.nn.sigmoid(conv1x1(noise_map, p[a + ".noise_scaler.0.weight"]))
         v = v * keep
@@ -249,7 +257,7 @@ def _adaptive_filter(p: Params, f: str, x, noise_map) -> jnp.ndarray:
     """Noise/detail dual-path fusion (net/TNSM.py:155-173)."""
     noise_b = conv1x1(jax.nn.leaky_relu(dwconv3x3(x, p[f + ".noise_process.0.weight"]), 0.2), p[f + ".noise_process.2.weight"])
     detail_b = dwconv3x3(jax.nn.leaky_relu(conv1x1(x, p[f + ".detail_preserve.0.weight"]), 0.2), p[f + ".detail_preserve.2.weight"])
-    fused = jnp.concatenate([noise_map * noise_b, (1.0 - noise_map) * detail_b], axis=-1)
+    fused = jnp.concatenate([noise_map * noise_b, (1.0 - noise_map) * detail_b], axis=CH_AXIS)
     out = conv1x1(fused, p[f + ".fusion.weight"])
     return layer_norm(p, f + ".norm", out)
 
@@ -296,10 +304,12 @@ def cidnet_forward(
 
     k = p["trans.density_k"]
     if _hvi_pallas.should_use_pallas():
-        hvi = _hvi_pallas.rgb_to_hvi_pallas(x, k).astype(compute_dtype)
+        hvi_nhwc = _hvi_pallas.rgb_to_hvi_pallas(x, k).astype(compute_dtype)
     else:
-        hvi = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
-    i_img = hvi[..., 2:3]                          # :74
+        hvi_nhwc = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
+    # switch to the NHCW internal layout (one cheap 3-channel transpose)
+    hvi = nhwc_to_internal(hvi_nhwc)
+    i_img = hvi[:, :, 2:3, :]                      # :74
 
     i_enc0 = conv3x3_replpad(i_img, p["IE_block0.1.weight"])  # :76
     i_enc1 = norm_downsample(p, "IE_block1", i_enc0, use_norm=nrm)
@@ -389,7 +399,7 @@ def cidnet_forward(
         hv_1 = spatial_attention(p, "sa_hv1", hv_1)
     hv_0 = conv3x3_replpad(hv_1, p["HVD_block0.1.weight"])
 
-    output_hvi = jnp.concatenate([hv_0, i_dec0], axis=-1) + hvi  # :119
+    output_hvi = internal_to_nhwc(jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi)  # :119
     # PHVIT consumed the detached scalar this_k (HVI_transform.py:38,59):
     if _hvi_pallas.should_use_pallas():
         output_rgb = _hvi_pallas.hvi_to_rgb_pallas(
@@ -412,10 +422,10 @@ def cidnet_forward(
             # Resize the 12 per-level maps to output res, fuse 12->3 + sigmoid
             # (CIDNet_TNSM.py:248-267; align_corners=False interpolation :258).
             th, tw = output_rgb.shape[1], output_rgb.shape[2]
-            resized = [resize_bilinear(nm, th, tw, align_corners=False) for nm in noise_maps]
-            stacked = jnp.concatenate(resized, axis=-1)
+            resized = [resize_bilinear_nhcw(nm, th, tw, align_corners=False) for nm in noise_maps]
+            stacked = jnp.concatenate(resized, axis=CH_AXIS)
             fused = jax.nn.sigmoid(conv2d(stacked, p["noise_fusion.0.weight"], padding="SAME"))
-            return output_rgb, fused
+            return output_rgb, internal_to_nhwc(fused)
         return output_rgb, None
     return output_rgb
 

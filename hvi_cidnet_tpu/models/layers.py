@@ -1,13 +1,15 @@
 """CIDNet building blocks as pure functions over a flat parameter dict.
 
-Parameter trees in this framework are flat ``{name: array}`` dicts whose keys
-equal the reference's ``state_dict()`` keys (e.g. ``"HV_LCA1.ffn.q.weight"``)
-with values already in TPU layout (HWIO convs, (C,) norms).  That makes the
-``.pth``/safetensors converter a name-preserving layout transform and keeps
-per-tensor parity testable, while remaining a perfectly ordinary JAX pytree
+Parameter trees are flat ``{name: array}`` dicts whose keys equal the
+reference's ``state_dict()`` keys (e.g. ``"HV_LCA1.ffn.q.weight"``) with
+values in HWIO layout — the ``.pth``/safetensors converter is name-preserving
+and per-tensor parity testable, while the tree remains an ordinary JAX pytree
 for jit/grad/sharding.
 
-Every block documents its reference counterpart with file:line.
+Activations flow in the **NHCW** internal layout (see ops/conv.py: channels
+in sublanes, width in lanes — ~3x less physical padding than channels-last
+for these channel counts).  Every block documents its reference counterpart
+with file:line.
 """
 
 from __future__ import annotations
@@ -17,13 +19,14 @@ import jax
 import jax.numpy as jnp
 
 from hvi_cidnet_tpu.ops.conv import (
+    CH_AXIS,
     conv1x1,
     conv2d,
     dwconv3x3,
     layer_norm_channels,
     prelu,
 )
-from hvi_cidnet_tpu.ops.resize import scale_double, scale_half
+from hvi_cidnet_tpu.ops.resize import scale_double_nhcw, scale_half_nhcw
 
 Params = dict
 
@@ -39,7 +42,7 @@ def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = 
     Reference NormDownsample (net/transformer_utils.py:31-48).
     """
     x = conv2d(x, p[prefix + ".down.0.weight"], padding="SAME")
-    x = scale_half(x)
+    x = scale_half_nhcw(x)
     x = prelu(x, p[prefix + ".prelu.weight"])
     if use_norm:
         x = layer_norm(p, prefix + ".norm", x)
@@ -52,9 +55,12 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     Reference NormUpsample (net/transformer_utils.py:50-70).
     """
     x = conv2d(x, p[prefix + ".up_scale.0.weight"], padding="SAME")
-    x = scale_double(x)
-    x = jnp.concatenate([x, y], axis=-1)
-    x = conv1x1(x, p[prefix + ".up.weight"])
+    x = scale_double_nhcw(x)
+    # concat + 1x1 conv == sum of two 1x1 convs on the operands (weights
+    # sliced at trace time) — skips materializing the 2C concat tensor
+    w_up = p[prefix + ".up.weight"]
+    cout = w_up.shape[-2] // 2
+    x = conv1x1(x, w_up[:, :, :cout, :]) + conv1x1(y, w_up[:, :, cout:, :])
     x = prelu(x, p[prefix + ".prelu.weight"])
     if use_norm:
         x = layer_norm(p, prefix + ".norm", x)
@@ -72,43 +78,37 @@ def channel_attention(
 ) -> jnp.ndarray:
     """Transposed (channel-wise) attention core shared by CAB and TNSM.
 
-    q/k/v: (B,H,W,C) feature maps.  Computes a per-head c_ph x c_ph attention
-    matrix over the flattened spatial axis — cost linear in H*W, and both
-    contractions are MXU matmuls.  The head split is a pure reshape
-    (B,HW,heads,c_ph) and the einsums contract straight over the spatial
-    axis, so no transposed copy of the (large) feature map is materialized.
-    Softmax runs in fp32 (bf16-sensitive).
+    q/k/v: NHCW feature maps.  Computes a CxC score matrix per batch by
+    contracting both spatial axes directly from the native layout (no
+    transposed copy of the feature map), masks it block-diagonal per head
+    before the fp32 softmax — for c <= 144 the extra cross-head FLOPs are
+    trivial next to the layout copies a per-head reshape costs (profiled:
+    27% of device time).
 
     Head semantics match the reference's ``rearrange('b (head c) h w ->
     b head c (h w)')`` (net/LCA.py:26-28): torch channel index
-    c = head * c_ph + i, preserved by our NHWC channel axis.
-    TNSM's variant skips the L2 normalization (net/TNSM.py:98-104).
+    c = head * c_ph + i, preserved by our channel axis.  TNSM's variant
+    skips the L2 normalization (net/TNSM.py:98-104).
     """
-    b, h, w, c = q.shape
+    b, h, c, w = q.shape
     cp = c // heads
-    n = h * w
-    # Layout strategy: stay in (B, N, C) — a free reshape from NHWC, with C in
-    # lanes and N in sublanes.  The score contraction runs over the sublane
-    # axis (dot_general handles the transposed orientation natively on the
-    # MXU), so NO transposed copy of the big feature map is ever
-    # materialized.  Heads are handled by computing the full CxC score matrix
-    # and masking it block-diagonal before the softmax — for c <= 144 the
-    # extra FLOPs are trivial next to the transposes they replace (profiled:
-    # 27% of device time was layout copies with the per-head layout).
-    qh = q.reshape(b, n, c)
-    kh = k.reshape(b, n, c)
-    vh = v.reshape(b, n, c)
 
     if normalize_qk:
-        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12)
+        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12).
+        # fp32 keeps the exact parity form; bf16 accumulates the squared sum
+        # in fp32 via a converting reduce and scales in bf16 — no fp32 copy
+        # of the feature map is materialized.
         def _norm(t):
-            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=1, keepdims=True)
-            return (t.astype(jnp.float32) * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))).astype(t.dtype)
+            if t.dtype == jnp.float32:
+                sq = jnp.sum(jnp.square(t), axis=(1, 3), keepdims=True)
+                return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(1, 3), keepdims=True)
+            return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).astype(t.dtype)
 
-        qh = _norm(qh)
-        kh = _norm(kh)
+        q = _norm(q)
+        k = _norm(k)
 
-    scores = jnp.einsum("bnc,bnd->bcd", qh, kh, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bhcw,bhdw->bcd", q, k, preferred_element_type=jnp.float32)
     # row c belongs to head c // cp; the reference scales row-wise by that
     # head's temperature (net/LCA.py:33)
     temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
@@ -118,24 +118,39 @@ def channel_attention(
         block = jnp.asarray(head_id[:, None] == head_id[None, :])
         scores = jnp.where(block[None], scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
-    out = jnp.einsum("bcd,bnd->bnc", attn.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
-    return out.astype(q.dtype).reshape(b, h, w, c)
+    return jnp.einsum("bcd,bhdw->bhcw", attn.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
 
 
 def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:
-    """Cross-attention block: q from x, k/v from y (net/LCA.py:7-41)."""
+    """Cross-attention block: q from x, k/v from y (net/LCA.py:7-41).
+
+    The kv conv's output channels are independent, so the torch
+    ``kv.chunk(2)`` is realized by slicing the *weights* at trace time — the
+    k and v paths never materialize (and then re-split) a 2C-channel tensor.
+    """
+    dim = x.shape[2]
     q = dwconv3x3(conv1x1(x, p[prefix + ".q.weight"]), p[prefix + ".q_dwconv.weight"])
-    kv = dwconv3x3(conv1x1(y, p[prefix + ".kv.weight"]), p[prefix + ".kv_dwconv.weight"])
-    k, v = jnp.split(kv, 2, axis=-1)
+    w_kv = p[prefix + ".kv.weight"]
+    w_kvdw = p[prefix + ".kv_dwconv.weight"]
+    k = dwconv3x3(conv1x1(y, w_kv[..., :dim]), w_kvdw[..., :dim])
+    v = dwconv3x3(conv1x1(y, w_kv[..., dim:]), w_kvdw[..., dim:])
     out = channel_attention(q, k, v, p[prefix + ".temperature"], heads)
     return conv1x1(out, p[prefix + ".project_out.weight"])
 
 
 def iel(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
-    """Intensity Enhancement Layer — gated tanh FFN (net/LCA.py:45-67)."""
-    x = conv1x1(x, p[prefix + ".project_in.weight"])
-    x = dwconv3x3(x, p[prefix + ".dwconv.weight"])
-    x1, x2 = jnp.split(x, 2, axis=-1)
+    """Intensity Enhancement Layer — gated tanh FFN (net/LCA.py:45-67).
+
+    The torch graph projects to 2*hidden channels, depthwise-convs, then
+    ``chunk(2)``s.  Both halves are channel-independent through the 1x1 and
+    the depthwise conv, so the weights are sliced at trace time and the two
+    gate paths run without ever materializing the 2*hidden tensor.
+    """
+    w_pi = p[prefix + ".project_in.weight"]
+    w_dw = p[prefix + ".dwconv.weight"]
+    hidden = w_pi.shape[-1] // 2
+    x1 = dwconv3x3(conv1x1(x, w_pi[..., :hidden]), w_dw[..., :hidden])
+    x2 = dwconv3x3(conv1x1(x, w_pi[..., hidden:]), w_dw[..., hidden:])
     x1 = jnp.tanh(dwconv3x3(x1, p[prefix + ".dwconv1.weight"])) + x1
     x2 = jnp.tanh(dwconv3x3(x2, p[prefix + ".dwconv2.weight"])) + x2
     return conv1x1(x1 * x2, p[prefix + ".project_out.weight"])
@@ -161,8 +176,8 @@ def spatial_attention(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
 
     Reference SpatialAttention (net/CIDNet_MSSA.py:10-25).
     """
-    avg_out = jnp.mean(x, axis=-1, keepdims=True)
-    max_out = jnp.max(x, axis=-1, keepdims=True)
-    y = jnp.concatenate([avg_out, max_out], axis=-1)
+    avg_out = jnp.mean(x, axis=CH_AXIS, keepdims=True)
+    max_out = jnp.max(x, axis=CH_AXIS, keepdims=True)
+    y = jnp.concatenate([avg_out, max_out], axis=CH_AXIS)
     y = conv2d(y, p[prefix + ".conv1.weight"], padding="SAME")
     return x * jax.nn.sigmoid(y)

@@ -1,9 +1,16 @@
-"""Convolution primitives in TPU-native NHWC / HWIO layout.
+"""Convolution and norm primitives in the framework's NHCW internal layout.
 
-All model weights in this framework are stored HWIO (kh, kw, in/groups, out);
-the torch-checkpoint converter (``compat/torch_ckpt.py``) transposes the
-reference's OIHW tensors on load.  bf16 activations x bf16 weights accumulate
-in fp32 on the MXU via ``preferred_element_type``.
+Activations inside the model are **NHCW** — (batch, height, channels, width).
+With XLA-TPU's default minor-two-dims (8, 128) tiling this puts channels in
+sublanes (36 -> 40 pad) and width in lanes (600 -> 640), a ~1.19x physical
+expansion — versus **3.6x** for channels-last, where C=36 pads to 128 lanes
+(measured from an XLA HBM dump; the layout switch is worth ~1.4x on convs and
+elementwise alike).  The public model API stays NHWC; ``models/cidnet.py``
+transposes the 3-channel image once at each boundary.
+
+Weights are stored HWIO (kh, kw, in/groups, out) exactly as for NHWC — only
+``dimension_numbers`` changes — so the torch-checkpoint converter is
+layout-independent.
 """
 
 from __future__ import annotations
@@ -11,7 +18,18 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_DN = ("NHWC", "HWIO", "NHWC")
+# (batch, height, channels, width) activations, HWIO weights.
+_DN = ("NHCW", "HWIO", "NHCW")
+
+CH_AXIS = 2  # channel axis of the internal activation layout
+
+
+def nhwc_to_internal(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 1, 3, 2))
+
+
+def internal_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.transpose(x, (0, 1, 3, 2))
 
 
 def conv2d(
@@ -22,10 +40,12 @@ def conv2d(
     padding="SAME",
     groups: int = 1,
 ) -> jnp.ndarray:
-    """2-D convolution. ``padding`` is 'SAME', 'VALID', or explicit pairs."""
-    # No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
-    # internally and jax 0.9's conv transpose rule rejects mixed-dtype
-    # cotangents when an explicit upcast is requested.
+    """2-D convolution on NHCW ``x``. ``padding``: 'SAME'/'VALID'/explicit.
+
+    No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
+    internally, and jax 0.9's conv transpose rule rejects mixed-dtype
+    cotangents when an explicit upcast is requested.
+    """
     return jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -46,12 +66,12 @@ def dwconv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     ``w``: (3, 3, 1, C).  Used throughout CAB/IEL (net/LCA.py:14,16,53-55).
     """
-    return conv2d(x, w, padding="SAME", groups=x.shape[-1])
+    return conv2d(x, w, padding="SAME", groups=x.shape[CH_AXIS])
 
 
 def replication_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
     """``nn.ReplicationPad2d`` — edge padding on H and W (net/CIDNet.py:22)."""
-    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (pad, pad)), mode="edge")
 
 
 def conv3x3_replpad(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -70,28 +90,30 @@ def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Channel LayerNorm matching the reference's channels-first manual norm.
+    """Channel LayerNorm over the NHCW channel axis.
 
-    Reference (net/transformer_utils.py:24-29): biased variance over the
-    channel axis, eps inside the sqrt.
+    Matches the reference's channels-first manual norm
+    (net/transformer_utils.py:24-29): biased variance, eps inside the sqrt.
 
-    fp32 inputs use the reference's exact two-pass form (parity-tested).
-    bf16 inputs keep the *statistics* in fp32 via fused converting reduces
-    (E[x^2] - E[x]^2) but never materialize an fp32 copy of the activation —
-    profiling showed the naive cast-up/cast-down spending ~12% of the forward
-    in convert_element_type passes.
+    fp32 inputs use the exact two-pass form (parity-tested).  bf16 inputs
+    keep the *statistics* in fp32 via fused converting reduces
+    (E[x^2] - E[x]^2) without materializing an fp32 activation copy —
+    profiling showed the cast-up/cast-down variant spending ~12% of the
+    forward in convert_element_type passes.
     """
+    w = weight.reshape(1, 1, -1, 1)
+    b = bias.reshape(1, 1, -1, 1)
     if x.dtype == jnp.float32:
-        u = jnp.mean(x, axis=-1, keepdims=True)
+        u = jnp.mean(x, axis=CH_AXIS, keepdims=True)
         d = x - u
-        s = jnp.mean(d * d, axis=-1, keepdims=True)
+        s = jnp.mean(d * d, axis=CH_AXIS, keepdims=True)
         y = d * jax.lax.rsqrt(s + eps)
-        return weight * y + bias
+        return w * y + b
     dt = x.dtype
-    n = x.shape[-1]
-    u = jnp.sum(x, axis=-1, keepdims=True, dtype=jnp.float32) / n
-    m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True) / n
+    n = x.shape[CH_AXIS]
+    u = jnp.sum(x, axis=CH_AXIS, keepdims=True, dtype=jnp.float32) / n
+    m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=CH_AXIS, keepdims=True) / n
     s = jnp.maximum(m2 - u * u, 0.0)
     scale = jax.lax.rsqrt(s + eps).astype(dt)
     shift = u.astype(dt)
-    return weight.astype(dt) * ((x - shift) * scale) + bias.astype(dt)
+    return w.astype(dt) * ((x - shift) * scale) + b.astype(dt)
