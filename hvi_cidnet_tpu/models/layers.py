@@ -22,6 +22,7 @@ from hvi_cidnet_tpu.ops.conv import (
     CH_AXIS,
     conv1x1,
     conv2d,
+    conv3x3_same,
     dwconv3x3,
     layer_norm_channels,
     prelu,
@@ -41,7 +42,7 @@ def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = 
 
     Reference NormDownsample (net/transformer_utils.py:31-48).
     """
-    x = conv2d(x, p[prefix + ".down.0.weight"], padding="SAME")
+    x = conv3x3_same(x, p[prefix + ".down.0.weight"])
     x = scale_half_nhcw(x)
     x = prelu(x, p[prefix + ".prelu.weight"])
     if use_norm:
@@ -54,7 +55,7 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
 
     Reference NormUpsample (net/transformer_utils.py:50-70).
     """
-    x = conv2d(x, p[prefix + ".up_scale.0.weight"], padding="SAME")
+    x = conv3x3_same(x, p[prefix + ".up_scale.0.weight"])
     x = scale_double_nhcw(x)
     # concat + 1x1 conv == sum of two 1x1 convs on the operands (weights
     # sliced at trace time) — skips materializing the 2C concat tensor

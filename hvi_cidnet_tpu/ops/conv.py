@@ -79,8 +79,18 @@ def conv3x3_replpad(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     Reference: the ``nn.Sequential`` stems HVE_block0/IE_block0 and heads
     HVD_block0/ID_block0 (net/CIDNet.py:21-24,32-35,39-42,50-53).
+    Routes through the Pallas conv kernel on TPU (ops/conv_pallas.py).
     """
-    return conv2d(replication_pad(x, 1), w, padding="VALID")
+    from hvi_cidnet_tpu.ops.conv_pallas import conv3x3_nhcw
+
+    return conv3x3_nhcw(x, w.astype(x.dtype), "edge")
+
+
+def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Dense 3x3 stride-1 zero-SAME conv (NormDown/Up 3x3s), Pallas on TPU."""
+    from hvi_cidnet_tpu.ops.conv_pallas import conv3x3_nhcw
+
+    return conv3x3_nhcw(x, w.astype(x.dtype), "zero")
 
 
 def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
