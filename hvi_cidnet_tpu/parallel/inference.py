@@ -1,0 +1,71 @@
+"""Multi-chip inference: data-parallel batches and spatially-sharded images.
+
+The reference is single-GPU (SURVEY.md §2.3); these are the TPU-native
+scaling paths:
+
+* ``dp_enhance_fn`` — batch sharded over the ``data`` mesh axis, params
+  replicated.  Linear throughput scaling for eval sweeps; XLA inserts no
+  collectives at all (embarrassingly parallel).
+* ``spatial_enhance_fn`` — ONE image's rows sharded over the mesh (the
+  reference's analog of sequence parallelism, SURVEY.md §5.7): XLA's SPMD
+  partitioner inserts halo exchanges for the 3x3 convs and resizes over ICI
+  automatically.  This is how a single full-res frame (e.g. LOL-Blur
+  1280x720) can exceed one chip's HBM or latency budget.
+
+Both return the SAME numbers as single-chip execution (mesh tests assert
+bitwise-close equality).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, cidnet_forward
+
+
+def dp_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: float = 1.0, compute_dtype=jnp.float32, axis: str = "data"):
+    """Jitted (params, batch NHWC) -> enhanced batch, batch sharded on mesh."""
+    batch_sharding = NamedSharding(mesh, P(axis))
+    replicated = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(replicated, batch_sharding),
+        out_shardings=batch_sharding,
+    )
+    def fn(params, x):
+        y = jnp.power(x, gamma) if gamma != 1.0 else x
+        out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype)
+        if config.variant == "tnsm":
+            out = out[0]
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
+    return fn, batch_sharding, replicated
+
+
+def spatial_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: float = 1.0, compute_dtype=jnp.float32, axis: Optional[str] = None):
+    """Jitted forward with image rows sharded across chips (halo exchange by
+    XLA).  The H extent must be divisible by 8 * mesh size so every shard
+    keeps whole UNet scales."""
+    axis = axis or mesh.axis_names[0]
+    row_sharding = NamedSharding(mesh, P(None, axis))
+    replicated = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        in_shardings=(replicated, row_sharding),
+        out_shardings=row_sharding,
+    )
+    def fn(params, x):
+        y = jnp.power(x, gamma) if gamma != 1.0 else x
+        out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype)
+        if config.variant == "tnsm":
+            out = out[0]
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
+    return fn, row_sharding, replicated

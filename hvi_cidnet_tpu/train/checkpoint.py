@@ -67,7 +67,7 @@ def export_pth(path: str, params: Dict[str, jnp.ndarray]) -> str:
     checkpoints trained here (inverse of eval.py:42's load)."""
     import torch
 
-    state = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in to_torch_state_dict(params).items()}
+    state = {k: torch.from_numpy(np.ascontiguousarray(v).copy()) for k, v in to_torch_state_dict(params).items()}
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     torch.save(state, path)
     return path

@@ -1,0 +1,90 @@
+"""Evaluator + measure harness end-to-end on synthetic files (CPU)."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from hvi_cidnet_tpu.data.datasets import EvalDataset
+from hvi_cidnet_tpu.eval.evaluator import Evaluator, gates_for_dataset
+from hvi_cidnet_tpu.eval.measure import metrics
+from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, init_cidnet
+from hvi_cidnet_tpu.utils.registry import MODEL_REGISTRY
+from hvi_cidnet_tpu.utils.profiling import StepTimer
+
+TINY = CIDNetConfig(channels=(8, 8, 16, 32), heads=(1, 2, 4, 8))
+
+
+def test_gates_routing_table():
+    """eval.py:46-55 gate table."""
+    assert gates_for_dataset(lol=True) == HVIGates(gated=True)
+    assert gates_for_dataset(lmot=True) == HVIGates(gated=True)
+    g = gates_for_dataset(v2=True, alpha=0.84)
+    assert g.gated2 and g.alpha == 0.84
+    assert gates_for_dataset() == HVIGates()
+
+
+def test_evaluator_bucketing_crops_to_input_size():
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    ev = Evaluator(params, TINY, HVIGates(), bucket_factor=32)
+    img = np.random.default_rng(0).uniform(0, 1, (37, 61, 3)).astype(np.float32)
+    out = ev.enhance(img)
+    assert out.shape == (37, 61, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_eval_then_measure_roundtrip(tmp_path):
+    low_dir = tmp_path / "low"
+    gt_dir = tmp_path / "gt"
+    out_dir = tmp_path / "out"
+    os.makedirs(low_dir)
+    os.makedirs(gt_dir)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        img = rng.integers(0, 255, (32, 48, 3)).astype(np.uint8)
+        Image.fromarray(img // 3).save(low_dir / f"{i}.png")
+        # GT saved as .jpg: exercises the extension fallback (measure.py:115-128)
+        Image.fromarray(img).save(gt_dir / f"{i}.jpg")
+    params = init_cidnet(jax.random.PRNGKey(1), TINY)
+    ev = Evaluator(params, TINY, HVIGates(), bucket_factor=16)
+    n = ev.run_dataset(EvalDataset(str(low_dir)), str(out_dir), verbose=False)
+    assert n == 2
+    p, s, l = metrics(str(out_dir / "*.png"), str(gt_dir), False, verbose=False)
+    assert 0 < p < 60 and -1 <= s <= 1 and l == 0.0
+    p2, s2, _ = metrics(str(out_dir / "*.png"), str(gt_dir), True, verbose=False)
+    assert np.isfinite(p2)
+
+
+def test_weight_file_loading(tmp_path):
+    """Evaluator accepts .npz and .pth weight paths (reference eval.py:42)."""
+    from hvi_cidnet_tpu.train.checkpoint import export_pth, save_checkpoint
+
+    params = init_cidnet(jax.random.PRNGKey(2), TINY)
+    npz = str(tmp_path / "w.npz")
+    save_checkpoint(npz, params)
+    ev = Evaluator(npz, TINY, HVIGates())
+    assert set(ev.params) == set(params)
+
+    pth = export_pth(str(tmp_path / "w.pth"), params)
+    ev2 = Evaluator(pth, TINY, HVIGates())
+    for k in params:
+        np.testing.assert_allclose(
+            np.asarray(ev2.params[k]), np.asarray(params[k]), atol=1e-7
+        )
+
+
+def test_model_registry():
+    assert set(MODEL_REGISTRY.keys()) >= {"base", "mssa", "tnsm"}
+    assert MODEL_REGISTRY.get("mssa").variant == "mssa"
+    with pytest.raises(KeyError):
+        MODEL_REGISTRY.get("nope")
+
+
+def test_step_timer():
+    t = StepTimer(window=4)
+    assert t.tick() is None
+    for _ in range(4):
+        t.tick()
+    assert t.mean() > 0
