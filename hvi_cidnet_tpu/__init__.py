@@ -17,3 +17,6 @@ from hvi_cidnet_tpu.models.cidnet import (  # noqa: F401
     init_cidnet,
 )
 from hvi_cidnet_tpu.ops.hvi import rgb_to_hvi, hvi_to_rgb  # noqa: F401
+from hvi_cidnet_tpu.eval.evaluator import Evaluator, gates_for_dataset  # noqa: F401
+from hvi_cidnet_tpu.train.checkpoint import load_any, save_checkpoint  # noqa: F401
+from hvi_cidnet_tpu.train.trainer import TrainConfig, make_optimizer, make_train_step  # noqa: F401

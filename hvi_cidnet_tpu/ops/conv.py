@@ -95,7 +95,7 @@ def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     """PReLU with a single shared slope (torch ``nn.PReLU()`` default)."""
-    a = a.reshape(()).astype(x.dtype)
+    a = jnp.asarray(a).reshape(()).astype(x.dtype)
     return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
 
 
