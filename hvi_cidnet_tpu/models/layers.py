@@ -122,7 +122,10 @@ def channel_attention(
         block = jnp.asarray(head_id[:, None] == head_id[None, :])
         scores = jnp.where(block[None], scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
-    return jnp.einsum("bcd,bhdw->bhcw", attn.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
+    # no preferred_element_type: the MXU accumulates fp32 internally and
+    # rounds once to the output dtype — requesting f32 out materializes an
+    # extra full-size cast pass per attention site
+    return jnp.einsum("bcd,bhdw->bhcw", attn.astype(v.dtype), v)
 
 
 def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:
