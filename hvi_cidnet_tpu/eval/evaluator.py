@@ -66,12 +66,26 @@ class Evaluator:
         out = self._jit(self.params, jnp.asarray(x[None], self.compute_dtype))
         return np.asarray(out)[0, :h, :w]
 
-    def run_dataset(self, dataset, output_folder: str, *, verbose: bool = True) -> int:
-        """Evaluate every image of an ``EvalDataset``, writing PNGs."""
+    def enhance_batch(self, imgs: np.ndarray) -> np.ndarray:
+        """Enhance a stacked NHWC batch (same padded shape)."""
+        out = self._jit(self.params, jnp.asarray(imgs, self.compute_dtype))
+        return np.asarray(out)
+
+    def run_dataset(
+        self, dataset, output_folder: str, *, verbose: bool = True, batch_size: int = 8
+    ) -> int:
+        """Evaluate an ``EvalDataset``, writing PNGs.
+
+        Images are grouped by padded bucket shape and run as batches — same
+        XLA program per bucket, batch-amortized dispatch (the reference
+        evaluates strictly one image at a time, eval.py:56-75).
+        """
+        from collections import defaultdict
+
         from PIL import Image
 
         os.makedirs(output_folder, exist_ok=True)
-        n = 0
+        buckets = defaultdict(list)  # (bh, bw) -> [(idx, img, name, h, w)]
         for i in range(len(dataset)):
             item = dataset[i]
             if len(item) == 4:
@@ -79,13 +93,31 @@ class Evaluator:
             else:
                 img, name = item
                 h, w = img.shape[:2]
-            out = self.enhance(img)[:h, :w]
-            Image.fromarray((out * 255.0 + 0.5).astype(np.uint8)).save(
-                os.path.join(output_folder, name)
+            buckets[_bucket(img.shape[0], img.shape[1], self.bucket_factor)].append(
+                (img, name, h, w)
             )
-            n += 1
-            if verbose and n % 20 == 0:
-                print(f"  {n}/{len(dataset)}")
+        n = 0
+        for (bh, bw), items in buckets.items():
+            for start in range(0, len(items), batch_size):
+                chunk = items[start : start + batch_size]
+                stacked = np.stack(
+                    [
+                        np.pad(
+                            im,
+                            ((0, bh - im.shape[0]), (0, bw - im.shape[1]), (0, 0)),
+                            mode="reflect",
+                        )
+                        for im, _, _, _ in chunk
+                    ]
+                )
+                outs = self.enhance_batch(stacked)
+                for (im, name, h, w), out in zip(chunk, outs):
+                    Image.fromarray((out[:h, :w] * 255.0 + 0.5).astype(np.uint8)).save(
+                        os.path.join(output_folder, name)
+                    )
+                    n += 1
+                if verbose and n % 50 == 0:
+                    print(f"  {n}/{len(dataset)}")
         return n
 
 

@@ -10,11 +10,13 @@ pixel count to a whole number of (8, 128) fp32 tiles.  Gradients route
 through ``jax.custom_vjp`` using the pure-jnp twin's VJP — bitwise-identical
 math, so forward speed comes from Pallas while autodiff stays exact.
 
-Status note (measured on the v5e tunnel, 32x400x600): the planar packing
-costs two small transposes, leaving the fused kernel at 11.4 ms round-trip vs
-8.2 ms for XLA's own fusion of the pure-jnp twin — so the model uses the jnp
-path unless ``HVI_USE_PALLAS=1`` opts in.  A layout-native variant (strided
-lane deinterleave) does not yet compile on this Mosaic version; revisit.
+Status (measured on the v5e tunnel): standalone, the planar packing's two
+small transposes leave the kernel at 11.4 ms round-trip vs 8.2 ms for XLA's
+fusion of the pure-jnp twin — but **in the full CIDNet graph the difference
+vanishes** (162.7 vs 162.4 img/s at 600x400 batch 128; the packing overlaps
+with neighboring work), so the model runs the fused kernels by default on
+TPU.  ``HVI_USE_PALLAS=0`` opts out.  A layout-native variant (strided lane
+deinterleave) does not yet compile on this Mosaic version; revisit.
 Tests exercise the kernel in interpreter mode on CPU.
 """
 
@@ -38,8 +40,8 @@ _ROWS = 256  # rows per grid step: 256x128 fp32 tile = 128 KB/plane in VMEM
 
 
 def should_use_pallas() -> bool:
-    """Opt-in switch: HVI_USE_PALLAS=1 and a TPU backend."""
-    if os.environ.get("HVI_USE_PALLAS", "0") != "1":
+    """Default-on for TPU backends; HVI_USE_PALLAS=0 opts out."""
+    if os.environ.get("HVI_USE_PALLAS", "1") == "0":
         return False
     return jax.default_backend() == "tpu"
 

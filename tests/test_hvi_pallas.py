@@ -45,6 +45,9 @@ def test_gradients_route_through_pure_vjp():
     assert float(g_pal) == pytest.approx(float(g_ref), rel=1e-6)
 
 
-def test_opt_in_flag_defaults_off(monkeypatch):
+def test_kernel_never_selected_on_cpu(monkeypatch):
+    # default-on applies to TPU backends only; CPU always takes the jnp path
     monkeypatch.delenv("HVI_USE_PALLAS", raising=False)
+    assert should_use_pallas() is False
+    monkeypatch.setenv("HVI_USE_PALLAS", "0")
     assert should_use_pallas() is False
