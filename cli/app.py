@@ -50,7 +50,7 @@ def process_image(img, score, model_path, gamma, alpha_s, alpha_i):
     ev = _cache[key]
     arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
     out = np.clip(ev.enhance(arr), 0, 1)
-    out_img = Image.fromarray((out * 255 + 0.5).astype(np.uint8))
+    out_img = Image.fromarray((out * 255).astype(np.uint8))
     info = ""
     if score:
         from hvi_cidnet_tpu.metrics.niqe import calculate_niqe

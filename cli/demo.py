@@ -58,5 +58,5 @@ img = np.asarray(Image.open(args.input).convert("RGB"), np.float32) / 255.0
 out = ev.enhance(img)
 name = os.path.basename(args.input)
 out_path = os.path.join(args.output_dir, f"enhanced_{name}")
-Image.fromarray((np.clip(out, 0, 1) * 255.0 + 0.5).astype(np.uint8)).save(out_path)
+Image.fromarray((np.clip(out, 0, 1) * 255.0).astype(np.uint8)).save(out_path)
 print(f"saved: {out_path}")

@@ -14,6 +14,7 @@ Example:
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import random
 import sys
@@ -148,10 +149,19 @@ def main():
         if os.path.exists(opt.vgg_weights):
             vgg_params = load_vgg_torch(opt.vgg_weights)
             print(f"perceptual loss: VGG19 weights from {opt.vgg_weights}")
-        else:
+        elif opt.allow_random_vgg:
             vgg_params = init_vgg(jax.random.PRNGKey(0))
             print("perceptual loss: WARNING — no local VGG19 weights found; "
-                  "using seeded init (set --vgg_weights for reference parity)")
+                  "using seeded init because --allow_random_vgg=true "
+                  "(NOT reference-comparable)")
+        else:
+            # A run that silently optimizes features of a random network
+            # "succeeds" while training against noise — disable loudly
+            # instead (opt back in with --allow_random_vgg for smoke runs).
+            tcfg = dataclasses.replace(tcfg, use_perceptual=False)
+            print(f"perceptual loss: DISABLED — no VGG19 weights at "
+                  f"{opt.vgg_weights}; pass --vgg_weights or set "
+                  f"--allow_random_vgg=true to override")
 
     mesh = make_mesh(axis_names=("data",))
     n_dev = mesh.devices.size

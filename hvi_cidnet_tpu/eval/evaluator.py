@@ -24,10 +24,19 @@ from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, cidnet_forward
 from hvi_cidnet_tpu.train.checkpoint import load_any
 
 
-def _bucket(h: int, w: int, factor: int = 64) -> Tuple[int, int]:
+def _bucket(h: int, w: int, factor: int = 8) -> Tuple[int, int]:
     """Round shapes up to multiples of ``factor`` (>=8 for the UNet) so eval
     compiles one XLA program per bucket, not per image (SURVEY.md §7)."""
     return ((h + factor - 1) // factor * factor, (w + factor - 1) // factor * factor)
+
+
+def _pad_to(img: np.ndarray, bh: int, bw: int) -> np.ndarray:
+    """Reflect-pad like the reference (eval_sets.py:23-28); numpy 'reflect'
+    requires pad < dim, so fall back to edge mode for sliver images (a 30-px
+    strip in a 64 bucket would otherwise raise)."""
+    ph, pw = bh - img.shape[0], bw - img.shape[1]
+    mode = "reflect" if ph < img.shape[0] and pw < img.shape[1] else "edge"
+    return np.pad(img, ((0, ph), (0, pw), (0, 0)), mode=mode)
 
 
 class Evaluator:
@@ -39,7 +48,7 @@ class Evaluator:
         *,
         gamma: float = 1.0,
         compute_dtype=jnp.float32,
-        bucket_factor: int = 64,
+        bucket_factor: int = 8,
     ):
         self.params = load_any(weights) if isinstance(weights, str) else weights
         self.config = config
@@ -62,7 +71,7 @@ class Evaluator:
         """Enhance one HWC [0,1] image of any size (pad->run->crop)."""
         h, w = img.shape[:2]
         bh, bw = _bucket(h, w, self.bucket_factor)
-        x = np.pad(img, ((0, bh - h), (0, bw - w), (0, 0)), mode="reflect")
+        x = _pad_to(img, bh, bw)
         out = self._jit(self.params, jnp.asarray(x[None], self.compute_dtype))
         return np.asarray(out)[0, :h, :w]
 
@@ -100,19 +109,13 @@ class Evaluator:
         for (bh, bw), items in buckets.items():
             for start in range(0, len(items), batch_size):
                 chunk = items[start : start + batch_size]
-                stacked = np.stack(
-                    [
-                        np.pad(
-                            im,
-                            ((0, bh - im.shape[0]), (0, bw - im.shape[1]), (0, 0)),
-                            mode="reflect",
-                        )
-                        for im, _, _, _ in chunk
-                    ]
-                )
+                stacked = np.stack([_pad_to(im, bh, bw) for im, _, _, _ in chunk])
                 outs = self.enhance_batch(stacked)
                 for (im, name, h, w), out in zip(chunk, outs):
-                    Image.fromarray((out[:h, :w] * 255.0 + 0.5).astype(np.uint8)).save(
+                    # quantize exactly like torchvision ToPILImage's
+                    # ``mul(255).byte()`` truncation (eval.py:74) so released-
+                    # checkpoint metric parity holds bit-for-bit
+                    Image.fromarray((out[:h, :w] * 255.0).astype(np.uint8)).save(
                         os.path.join(output_folder, name)
                     )
                     n += 1

@@ -72,14 +72,22 @@ def brisque_features(img: np.ndarray) -> np.ndarray:
 class LibSVMModel:
     """Minimal libsvm epsilon-SVR model reader + RBF predictor."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, scale_path: Optional[str] = None):
         self.gamma = 0.05
         self.rho = 0.0
         self.sv_coef: List[float] = []
         self.svs: List[Dict[int, float]] = []
+        # libsvm feature scaling to [lower, upper] (LIVE ships ``allrange``;
+        # svm-scale's restore file has the same per-feature min/max layout)
         self.scale_lo: Optional[np.ndarray] = None
         self.scale_hi: Optional[np.ndarray] = None
+        self.lower = -1.0
+        self.upper = 1.0
         self._parse(path)
+        if scale_path is None:
+            scale_path = _find_scale_file(path)
+        if scale_path is not None:
+            self._parse_scale(scale_path)
 
     def _parse(self, path: str) -> None:
         in_sv = False
@@ -101,6 +109,51 @@ class LibSVMModel:
                 elif line == "SV":
                     in_sv = True
 
+    def _parse_scale(self, path: str) -> None:
+        """Parse a per-feature range file.
+
+        Accepts both svm-scale restore files::
+
+            x
+            -1 1
+            1 min1 max1
+            ...
+
+        and the LIVE release's ``allrange`` (``idx min max`` lines only).
+        """
+        lo: Dict[int, float] = {}
+        hi: Dict[int, float] = {}
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()]
+        for ln in lines:
+            parts = ln.split()
+            if parts[0] in ("x", "y"):
+                continue
+            if len(parts) == 2:  # svm-scale "lower upper" header line
+                self.lower, self.upper = float(parts[0]), float(parts[1])
+                continue
+            if len(parts) == 3:
+                idx = int(parts[0])
+                lo[idx], hi[idx] = float(parts[1]), float(parts[2])
+        if lo:
+            n = max(lo)
+            self.scale_lo = np.zeros(n)
+            self.scale_hi = np.ones(n)
+            for i in range(1, n + 1):
+                self.scale_lo[i - 1] = lo.get(i, 0.0)
+                self.scale_hi[i - 1] = hi.get(i, 1.0)
+
+    def scale(self, x: np.ndarray) -> np.ndarray:
+        """libsvm svm-scale mapping of features to [lower, upper]."""
+        if self.scale_lo is None:
+            return x
+        n = min(x.shape[0], self.scale_lo.shape[0])
+        out = x.astype(np.float64).copy()
+        rng = self.scale_hi[:n] - self.scale_lo[:n]
+        rng = np.where(rng == 0, 1.0, rng)
+        out[:n] = self.lower + (self.upper - self.lower) * (x[:n] - self.scale_lo[:n]) / rng
+        return out
+
     def predict(self, x: np.ndarray) -> float:
         n = x.shape[0]
         total = -self.rho
@@ -114,6 +167,19 @@ class LibSVMModel:
         return float(total)
 
 
+def _find_scale_file(model_path: str) -> Optional[str]:
+    env = os.environ.get("BRISQUE_RANGE")
+    if env and os.path.exists(env):
+        return env
+    d = os.path.dirname(model_path)
+    base = os.path.splitext(os.path.basename(model_path))[0]
+    for cand in (base + "_scale.txt", base + ".range", "allrange", "brisque_range.txt"):
+        p = os.path.join(d, cand)
+        if os.path.exists(p):
+            return p
+    return None
+
+
 def _default_model_path() -> Optional[str]:
     p = os.environ.get("BRISQUE_MODEL")
     if p and os.path.exists(p):
@@ -123,7 +189,12 @@ def _default_model_path() -> Optional[str]:
 
 
 def score(img: np.ndarray, model_path: Optional[str] = None) -> float:
-    """BRISQUE score (lower is better).  Needs the trained SVR model file."""
+    """BRISQUE score (lower is better).  Needs the trained SVR model file.
+
+    Feature scaling: libsvm BRISQUE models are trained on svm-scaled
+    features ([-1,1] per feature over the LIVE corpus); the companion range
+    file is auto-discovered next to the model (or via BRISQUE_RANGE).
+    """
     path = model_path or _default_model_path()
     if path is None:
         raise FileNotFoundError(
@@ -133,6 +204,4 @@ def score(img: np.ndarray, model_path: Optional[str] = None) -> float:
         )
     feats = brisque_features(img)
     model = LibSVMModel(path)
-    if model.scale_lo is not None:
-        feats = (feats - model.scale_lo) / (model.scale_hi - model.scale_lo)
-    return model.predict(feats)
+    return model.predict(model.scale(feats))

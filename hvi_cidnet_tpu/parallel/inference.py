@@ -50,22 +50,32 @@ def dp_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: f
 
 def spatial_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: float = 1.0, compute_dtype=jnp.float32, axis: Optional[str] = None):
     """Jitted forward with image rows sharded across chips (halo exchange by
-    XLA).  The H extent must be divisible by 8 * mesh size so every shard
-    keeps whole UNet scales."""
+    XLA).
+
+    Shard-divisibility is handled inside the program: H is reflect-padded to
+    a multiple of 8 * mesh size (W to a multiple of 8) and the output is
+    cropped back — e.g. a full-res LOL-Blur 1280x720 frame pads 720 -> 768
+    on an 8-chip mesh, the same pad-and-crop contract the reference applies
+    for its /8 constraint (eval_sets.py:23-29, demo.py:46-52).
+    """
     axis = axis or mesh.axis_names[0]
+    n_shard = mesh.shape[axis]
     row_sharding = NamedSharding(mesh, P(None, axis))
     replicated = NamedSharding(mesh, P())
 
-    @partial(
-        jax.jit,
-        in_shardings=(replicated, row_sharding),
-        out_shardings=row_sharding,
-    )
+    @partial(jax.jit, in_shardings=(replicated, row_sharding), out_shardings=row_sharding)
     def fn(params, x):
+        h, w = x.shape[1], x.shape[2]
+        mh = 8 * n_shard
+        ph = (mh - h % mh) % mh
+        pw = (8 - w % 8) % 8
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
         y = jnp.power(x, gamma) if gamma != 1.0 else x
         out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype)
         if config.variant == "tnsm":
             out = out[0]
+        out = out[:, :h, :w]
         return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
 
     return fn, row_sharding, replicated

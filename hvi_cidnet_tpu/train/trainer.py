@@ -65,10 +65,19 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Per-epoch lr injection (the reference steps its scheduler per epoch)."""
-    inner = opt_state[-1] if isinstance(opt_state, tuple) else opt_state
-    inner.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
-    return opt_state
+    """Per-epoch lr injection (the reference steps its scheduler per epoch).
+
+    Functional: rebuilds the ``InjectHyperparamsState`` instead of assigning
+    into the (possibly donated) state pytree — optax states are namedtuples,
+    and aliasing a donated buffer is a silent-corruption hazard.
+    """
+    lr_arr = jnp.asarray(lr, jnp.float32)
+    if isinstance(opt_state, tuple) and hasattr(opt_state[-1], "hyperparams"):
+        inner = opt_state[-1]
+        new_inner = inner._replace(hyperparams={**inner.hyperparams, "learning_rate": lr_arr})
+        return opt_state[:-1] + (new_inner,)
+    new_hp = {**opt_state.hyperparams, "learning_rate": lr_arr}
+    return opt_state._replace(hyperparams=new_hp)
 
 
 def composite_loss(

@@ -121,6 +121,10 @@ def option() -> argparse.ArgumentParser:
     p.add_argument("--use_perceptual", type=str2bool, default=True)
     p.add_argument("--vgg_weights", type=str, default="experiments/pretrained_models/vgg19.pth",
                    help="local torchvision-format VGG19 weights for P_loss")
+    p.add_argument("--allow_random_vgg", type=str2bool, default=False,
+                   help="opt-in: train the perceptual loss against seeded-init "
+                        "VGG19 when --vgg_weights is missing (smoke/tests only; "
+                        "otherwise the perceptual term auto-disables loudly)")
     p.add_argument("--seed", type=int, default=-1, help="-1 = random (reference behavior)")
     p.add_argument("--synthetic_steps", type=int, default=0,
                    help=">0: train on synthetic data for N steps/epoch (smoke mode)")

