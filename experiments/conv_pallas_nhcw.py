@@ -1,3 +1,4 @@
+# ARCHIVED (round 2): NHCW-era kernel; superseded by the HWCB layout.
 """Pallas TPU kernel for dense 3x3 stride-1 convolution in NHCW layout.
 
 The UNet's hot convs have tiny channel counts (36-144); XLA's conv runs them

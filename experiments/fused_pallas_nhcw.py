@@ -1,3 +1,5 @@
+# ARCHIVED (round 2): NHCW-era kernel; the model now flows HWCB and no
+# longer routes through this.  Kept for the kernel-experiment record.
 """Fused Pallas mega-kernel: NormDownsample = conv3x3 + bilinear x0.5 + PReLU.
 
 The UNet's downsample blocks (net/transformer_utils.py:31-48) are the
@@ -53,7 +55,11 @@ def should_use_fused_down() -> bool:
 
 def _xla_down(x, w, alpha):
     from hvi_cidnet_tpu.ops.conv import conv2d, prelu
-    from hvi_cidnet_tpu.ops.resize import scale_half_nhcw
+    from hvi_cidnet_tpu.ops.resize import _half_major, _axis_matmul_major
+
+    def scale_half_nhcw(t):
+        t = _half_major(t, 1)
+        return _axis_matmul_major(t, 3, t.shape[3] // 2, True)
 
     return prelu(scale_half_nhcw(conv2d(x, w.astype(x.dtype), padding="SAME")), alpha)
 

@@ -1,3 +1,4 @@
+# ARCHIVED (round 2): NHCW-era kernel; superseded by the HWCB layout.
 """Fused Pallas TPU kernel: LayerNorm + IEL (gated tanh FFN) [+ residual].
 
 Why this kernel exists: the IEL interiors are the single largest HBM-traffic

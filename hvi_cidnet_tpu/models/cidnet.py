@@ -35,7 +35,7 @@ from hvi_cidnet_tpu.ops.conv import (
     internal_to_nhwc,
     nhwc_to_internal,
 )
-from hvi_cidnet_tpu.ops.resize import resize_bilinear_nhcw
+from hvi_cidnet_tpu.ops.resize import resize_bilinear_hwcb
 from hvi_cidnet_tpu.models.layers import (
     Params,
     channel_attention,
@@ -222,8 +222,8 @@ def init_cidnet(key, config: CIDNetConfig = CIDNetConfig()) -> Params:
 
 def _dynamic_noise_map(p: Params, g: str, x: jnp.ndarray) -> jnp.ndarray:
     """SE-style global pooling + local noise branch (net/TNSM.py:37-57)."""
-    avg = jnp.mean(x, axis=(1, 3), keepdims=True)  # NHCW global spatial pool
-    mx = jnp.max(x, axis=(1, 3), keepdims=True)
+    avg = jnp.mean(x, axis=(0, 1), keepdims=True)  # HWCB global spatial pool
+    mx = jnp.max(x, axis=(0, 1), keepdims=True)
 
     def squeeze_excite(v):
         v = conv1x1(v, p[g + ".fc1.weight"])
@@ -309,7 +309,7 @@ def cidnet_forward(
         hvi_nhwc = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
     # switch to the NHCW internal layout (one cheap 3-channel transpose)
     hvi = nhwc_to_internal(hvi_nhwc)
-    i_img = hvi[:, :, 2:3, :]                      # :74
+    i_img = hvi[:, :, 2:3, :]                      # :74 (C is axis 2 in HWCB)
 
     i_enc0 = conv3x3_replpad(i_img, p["IE_block0.1.weight"])  # :76
     i_enc1 = norm_downsample(p, "IE_block1", i_enc0, use_norm=nrm)
@@ -422,7 +422,7 @@ def cidnet_forward(
             # Resize the 12 per-level maps to output res, fuse 12->3 + sigmoid
             # (CIDNet_TNSM.py:248-267; align_corners=False interpolation :258).
             th, tw = output_rgb.shape[1], output_rgb.shape[2]
-            resized = [resize_bilinear_nhcw(nm, th, tw, align_corners=False) for nm in noise_maps]
+            resized = [resize_bilinear_hwcb(nm, th, tw, align_corners=False) for nm in noise_maps]
             stacked = jnp.concatenate(resized, axis=CH_AXIS)
             fused = jax.nn.sigmoid(conv2d(stacked, p["noise_fusion.0.weight"], padding="SAME"))
             return output_rgb, internal_to_nhwc(fused)

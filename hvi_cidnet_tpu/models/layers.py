@@ -6,10 +6,10 @@ values in HWIO layout — the ``.pth``/safetensors converter is name-preserving
 and per-tensor parity testable, while the tree remains an ordinary JAX pytree
 for jit/grad/sharding.
 
-Activations flow in the **NHCW** internal layout (see ops/conv.py: channels
-in sublanes, width in lanes — ~3x less physical padding than channels-last
-for these channel counts).  Every block documents its reference counterpart
-with file:line.
+Activations flow in the **HWCB** internal layout (see ops/conv.py: batch in
+lanes, channels in sublanes — XLA-TPU's preferred convolution layout, so no
+layout-conversion copies appear between convs and their neighbors).  Every
+block documents its reference counterpart with file:line.
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from hvi_cidnet_tpu.ops.conv import (
     layer_norm_channels,
     prelu,
 )
-from hvi_cidnet_tpu.ops.resize import scale_double_nhcw, scale_half_nhcw
+from hvi_cidnet_tpu.ops.resize import scale_double_hwcb, scale_half_hwcb
 
 Params = dict
 
@@ -40,14 +40,11 @@ def layer_norm(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
 def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = False) -> jnp.ndarray:
     """3x3 conv -> bilinear x0.5 -> PReLU -> optional LN.
 
-    Reference NormDownsample (net/transformer_utils.py:31-48).  Runs as one
-    fused Pallas kernel on TPU (ops/fused_pallas.py, 1.9x over the op chain).
+    Reference NormDownsample (net/transformer_utils.py:31-48).
     """
-    from hvi_cidnet_tpu.ops.fused_pallas import fused_norm_downsample
-
-    x = fused_norm_downsample(
-        x, p[prefix + ".down.0.weight"], p[prefix + ".prelu.weight"].reshape(())
-    )
+    x = conv3x3_same(x, p[prefix + ".down.0.weight"])
+    x = scale_half_hwcb(x)
+    x = prelu(x, p[prefix + ".prelu.weight"])
     if use_norm:
         x = layer_norm(p, prefix + ".norm", x)
     return x
@@ -59,7 +56,7 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     Reference NormUpsample (net/transformer_utils.py:50-70).
     """
     x = conv3x3_same(x, p[prefix + ".up_scale.0.weight"])
-    x = scale_double_nhcw(x)
+    x = scale_double_hwcb(x)
     # concat + 1x1 conv == sum of two 1x1 convs on the operands (weights
     # sliced at trace time) — skips materializing the 2C concat tensor
     w_up = p[prefix + ".up.weight"]
@@ -82,7 +79,7 @@ def channel_attention(
 ) -> jnp.ndarray:
     """Transposed (channel-wise) attention core shared by CAB and TNSM.
 
-    q/k/v: NHCW feature maps.  Computes a CxC score matrix per batch by
+    q/k/v: HWCB feature maps.  Computes a CxC score matrix per batch by
     contracting both spatial axes directly from the native layout (no
     transposed copy of the feature map), masks it block-diagonal per head
     before the fp32 softmax — for c <= 144 the extra cross-head FLOPs are
@@ -94,7 +91,7 @@ def channel_attention(
     c = head * c_ph + i, preserved by our channel axis.  TNSM's variant
     skips the L2 normalization (net/TNSM.py:98-104).
     """
-    b, h, c, w = q.shape
+    c = q.shape[2]
     cp = c // heads
 
     if normalize_qk:
@@ -104,15 +101,15 @@ def channel_attention(
         # of the feature map is materialized.
         def _norm(t):
             if t.dtype == jnp.float32:
-                sq = jnp.sum(jnp.square(t), axis=(1, 3), keepdims=True)
+                sq = jnp.sum(jnp.square(t), axis=(0, 1), keepdims=True)
                 return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
-            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(1, 3), keepdims=True)
+            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1), keepdims=True)
             return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).astype(t.dtype)
 
         q = _norm(q)
         k = _norm(k)
 
-    scores = jnp.einsum("bhcw,bhdw->bcd", q, k, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("hwcb,hwdb->bcd", q, k, preferred_element_type=jnp.float32)
     # row c belongs to head c // cp; the reference scales row-wise by that
     # head's temperature (net/LCA.py:33)
     temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
@@ -125,7 +122,7 @@ def channel_attention(
     # no preferred_element_type: the MXU accumulates fp32 internally and
     # rounds once to the output dtype — requesting f32 out materializes an
     # extra full-size cast pass per attention site
-    return jnp.einsum("bcd,bhdw->bhcw", attn.astype(v.dtype), v)
+    return jnp.einsum("bcd,hwdb->hwcb", attn.astype(v.dtype), v)
 
 
 def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:

@@ -1,12 +1,15 @@
-"""Convolution and norm primitives in the framework's NHCW internal layout.
+"""Convolution and norm primitives in the framework's HWCB internal layout.
 
-Activations inside the model are **NHCW** — (batch, height, channels, width).
-With XLA-TPU's default minor-two-dims (8, 128) tiling this puts channels in
-sublanes (36 -> 40 pad) and width in lanes (600 -> 640), a ~1.19x physical
-expansion — versus **3.6x** for channels-last, where C=36 pads to 128 lanes
-(measured from an XLA HBM dump; the layout switch is worth ~1.4x on convs and
-elementwise alike).  The public model API stays NHWC; ``models/cidnet.py``
-transposes the 3-channel image once at each boundary.
+Activations inside the model are **HWCB** — (height, width, channels, batch).
+Row-major HWCB is exactly XLA-TPU's *preferred* convolution layout at the
+serving batch (an optimized-HLO dump of the round-1 NHCW graph showed every
+conv fusion laid out {0,2,3,1} — lanes=batch, sublanes=channels — with
+41.5 GB/forward of layout-conversion copies bridging back to the NHCW
+default).  Keeping the logical order equal to the physical preference makes
+those copies vanish: the LCA interiors measured 1.8x faster in HWCB
+(experiments/hwcb_r2.py, G7/G8) with bit-identical results.  The public
+model API stays NHWC; ``models/cidnet.py`` transposes the 3-channel image
+once at each boundary.
 
 Weights are stored HWIO (kh, kw, in/groups, out) exactly as for NHWC — only
 ``dimension_numbers`` changes — so the torch-checkpoint converter is
@@ -18,18 +21,22 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# (batch, height, channels, width) activations, HWIO weights.
-_DN = ("NHCW", "HWIO", "NHCW")
+# (height, width, channels, batch) activations, HWIO weights.
+_DN = ("HWCN", "HWIO", "HWCN")
 
+H_AXIS = 0
+W_AXIS = 1
 CH_AXIS = 2  # channel axis of the internal activation layout
+B_AXIS = 3
+SPATIAL_AXES = (0, 1)
 
 
 def nhwc_to_internal(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.transpose(x, (0, 1, 3, 2))
+    return jnp.transpose(x, (1, 2, 3, 0))
 
 
 def internal_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.transpose(x, (0, 1, 3, 2))
+    return jnp.transpose(x, (3, 0, 1, 2))
 
 
 def conv2d(
@@ -40,7 +47,7 @@ def conv2d(
     padding="SAME",
     groups: int = 1,
 ) -> jnp.ndarray:
-    """2-D convolution on NHCW ``x``. ``padding``: 'SAME'/'VALID'/explicit.
+    """2-D convolution on HWCB ``x``. ``padding``: 'SAME'/'VALID'/explicit.
 
     No preferred_element_type: the TPU MXU accumulates bf16 convs in fp32
     internally, and jax 0.9's conv transpose rule rejects mixed-dtype
@@ -71,7 +78,7 @@ def dwconv3x3(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def replication_pad(x: jnp.ndarray, pad: int = 1) -> jnp.ndarray:
     """``nn.ReplicationPad2d`` — edge padding on H and W (net/CIDNet.py:22)."""
-    return jnp.pad(x, ((0, 0), (pad, pad), (0, 0), (pad, pad)), mode="edge")
+    return jnp.pad(x, ((pad, pad), (pad, pad), (0, 0), (0, 0)), mode="edge")
 
 
 def conv3x3_replpad(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
@@ -79,18 +86,13 @@ def conv3x3_replpad(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     Reference: the ``nn.Sequential`` stems HVE_block0/IE_block0 and heads
     HVD_block0/ID_block0 (net/CIDNet.py:21-24,32-35,39-42,50-53).
-    Routes through the Pallas conv kernel on TPU (ops/conv_pallas.py).
     """
-    from hvi_cidnet_tpu.ops.conv_pallas import conv3x3_nhcw
-
-    return conv3x3_nhcw(x, w.astype(x.dtype), "edge")
+    return conv2d(replication_pad(x, 1), w, padding="VALID")
 
 
 def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
-    """Dense 3x3 stride-1 zero-SAME conv (NormDown/Up 3x3s), Pallas on TPU."""
-    from hvi_cidnet_tpu.ops.conv_pallas import conv3x3_nhcw
-
-    return conv3x3_nhcw(x, w.astype(x.dtype), "zero")
+    """Dense 3x3 stride-1 zero-SAME conv (NormDown/Up 3x3s)."""
+    return conv2d(x, w, padding="SAME")
 
 
 def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +102,7 @@ def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
-    """Channel LayerNorm over the NHCW channel axis.
+    """Channel LayerNorm over the HWCB channel axis.
 
     Matches the reference's channels-first manual norm
     (net/transformer_utils.py:24-29): biased variance, eps inside the sqrt.

@@ -133,40 +133,36 @@ def _double_major(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# NHCW (model-internal) entry points
+# HWCB (model-internal) entry points — H and W are both MAJOR axes (0, 1), so
+# the x0.5/x2 cases use the banded shift-fma forms on each axis and the
+# arbitrary-ratio case contracts a major axis with the dense matrix.
 # ---------------------------------------------------------------------------
 
 
-def _w_matmul_nhcw(x: jnp.ndarray, out_w: int, align_corners: bool) -> jnp.ndarray:
-    b, h, c, w = x.shape
-    mw = jnp.asarray(_interp_matrix(w, out_w, align_corners), x.dtype)
-    return jnp.einsum("pw,bhcw->bhcp", mw, x)
+def _axis_matmul_major(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    m = jnp.asarray(_interp_matrix(x.shape[axis], out_size, align_corners), x.dtype)
+    moved = jnp.moveaxis(x, axis, 0)
+    flat = moved.reshape(moved.shape[0], -1)
+    out = jnp.einsum("oh,hm->om", m, flat).reshape((out_size,) + moved.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
 
 
-def _h_matmul_nhcw(x: jnp.ndarray, out_h: int, align_corners: bool) -> jnp.ndarray:
-    b, h, c, w = x.shape
-    mh = jnp.asarray(_interp_matrix(h, out_h, align_corners), x.dtype)
-    return jnp.einsum("oh,bhm->bom", mh, x.reshape(b, h, c * w)).reshape(b, out_h, c, w)
+def scale_half_hwcb(x: jnp.ndarray) -> jnp.ndarray:
+    """``UpsamplingBilinear2d(0.5)`` on HWCB (transformer_utils.py:40)."""
+    return _half_major(_half_major(x, 0), 1)
 
 
-def scale_half_nhcw(x: jnp.ndarray) -> jnp.ndarray:
-    """``UpsamplingBilinear2d(0.5)`` on NHCW (transformer_utils.py:40)."""
-    x = _half_major(x, 1)
-    return _w_matmul_nhcw(x, x.shape[3] // 2, True)
+def scale_double_hwcb(x: jnp.ndarray) -> jnp.ndarray:
+    """``UpsamplingBilinear2d(2)`` on HWCB (transformer_utils.py:59)."""
+    return _double_major(_double_major(x, 0), 1)
 
 
-def scale_double_nhcw(x: jnp.ndarray) -> jnp.ndarray:
-    """``UpsamplingBilinear2d(2)`` on NHCW (transformer_utils.py:59)."""
-    x = _double_major(x, 1)
-    return _w_matmul_nhcw(x, x.shape[3] * 2, True)
-
-
-def resize_bilinear_nhcw(x: jnp.ndarray, out_h: int, out_w: int, *, align_corners: bool) -> jnp.ndarray:
-    """Arbitrary-ratio resize on NHCW (TNSM noise maps, CIDNet_TNSM.py:258)."""
-    if x.shape[1] != out_h:
-        x = _h_matmul_nhcw(x, out_h, align_corners)
-    if x.shape[3] != out_w:
-        x = _w_matmul_nhcw(x, out_w, align_corners)
+def resize_bilinear_hwcb(x: jnp.ndarray, out_h: int, out_w: int, *, align_corners: bool) -> jnp.ndarray:
+    """Arbitrary-ratio resize on HWCB (TNSM noise maps, CIDNet_TNSM.py:258)."""
+    if x.shape[0] != out_h:
+        x = _axis_matmul_major(x, 0, out_h, align_corners)
+    if x.shape[1] != out_w:
+        x = _axis_matmul_major(x, 1, out_w, align_corners)
     return x
 
 
