@@ -249,8 +249,10 @@ def _noise_aware_attention(p: Params, a: str, x, y, noise_map, heads: int) -> jn
     if noise_map is not None:
         keep = jax.nn.sigmoid(conv1x1(noise_map, p[a + ".noise_scaler.0.weight"]))
         v = v * keep
-    out = channel_attention(q, k, v, p[a + ".temperature"], heads, normalize_qk=False)
-    return conv1x1(out, p[a + ".project_out.weight"])
+    return channel_attention(
+        q, k, v, p[a + ".temperature"], heads, normalize_qk=False,
+        w_proj=p[a + ".project_out.weight"],
+    )
 
 
 def _adaptive_filter(p: Params, f: str, x, noise_map) -> jnp.ndarray:

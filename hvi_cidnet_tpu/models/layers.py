@@ -14,6 +14,9 @@ block documents its reference counterpart with file:line.
 
 from __future__ import annotations
 
+import os
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -27,7 +30,7 @@ from hvi_cidnet_tpu.ops.conv import (
     layer_norm_channels,
     prelu,
 )
-from hvi_cidnet_tpu.ops.resize import scale_double_hwcb, scale_half_hwcb
+from hvi_cidnet_tpu.ops.resize_pallas import double_bilinear, half_prelu
 
 Params = dict
 
@@ -40,11 +43,12 @@ def layer_norm(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
 def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = False) -> jnp.ndarray:
     """3x3 conv -> bilinear x0.5 -> PReLU -> optional LN.
 
-    Reference NormDownsample (net/transformer_utils.py:31-48).
+    Reference NormDownsample (net/transformer_utils.py:31-48).  The
+    x0.5+PReLU tail runs as one Pallas kernel at lane-aligned batches
+    (ops/resize_pallas.py: 31.6 -> 17.8 ms at the bench L0 site).
     """
     x = conv3x3_same(x, p[prefix + ".down.0.weight"])
-    x = scale_half_hwcb(x)
-    x = prelu(x, p[prefix + ".prelu.weight"])
+    x = half_prelu(x, p[prefix + ".prelu.weight"].reshape(()))
     if use_norm:
         x = layer_norm(p, prefix + ".norm", x)
     return x
@@ -56,7 +60,7 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     Reference NormUpsample (net/transformer_utils.py:50-70).
     """
     x = conv3x3_same(x, p[prefix + ".up_scale.0.weight"])
-    x = scale_double_hwcb(x)
+    x = double_bilinear(x)  # Pallas at lane-aligned batches: 48.4 -> 12.0 ms @L1
     # concat + 1x1 conv == sum of two 1x1 convs on the operands (weights
     # sliced at trace time) — skips materializing the 2C concat tensor
     w_up = p[prefix + ".up.weight"]
@@ -76,6 +80,7 @@ def channel_attention(
     heads: int,
     *,
     normalize_qk: bool = True,
+    w_proj: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Transposed (channel-wise) attention core shared by CAB and TNSM.
 
@@ -94,22 +99,26 @@ def channel_attention(
     c = q.shape[2]
     cp = c // heads
 
-    if normalize_qk:
-        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12).
-        # fp32 keeps the exact parity form; bf16 accumulates the squared sum
-        # in fp32 via a converting reduce and scales in bf16 — no fp32 copy
-        # of the feature map is materialized.
-        def _norm(t):
-            if t.dtype == jnp.float32:
-                sq = jnp.sum(jnp.square(t), axis=(0, 1), keepdims=True)
-                return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24))
+    hoist_norm = os.environ.get("ATTN_NORM_HOIST", "1") == "1"
+    if normalize_qk and not hoist_norm:
+        def _nrm(t):
             sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1), keepdims=True)
             return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).astype(t.dtype)
-
-        q = _norm(q)
-        k = _norm(k)
-
+        q, k = _nrm(q), _nrm(k)
     scores = jnp.einsum("hwcb,hwdb->bcd", q, k, preferred_element_type=jnp.float32)
+    if normalize_qk and hoist_norm:
+        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12)
+        # applied to q and k.  Algebraically hoisted PAST the contraction:
+        # (q/|q|)·(k/|k|) == (q·k) / (|q||k|) — the raw scores are rescaled
+        # by per-(channel, batch) norms instead of rewriting the full q/k
+        # feature maps (saves two full HBM passes per attention site; the
+        # f32 score accumulation is unchanged, so this is exact up to f32
+        # rounding order).
+        def _inv_norm(t):  # (1/max(|t_cb|, 1e-12)) as (B, C)
+            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1))
+            return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
+
+        scores = scores * _inv_norm(q)[:, :, None] * _inv_norm(k)[:, None, :]
     # row c belongs to head c // cp; the reference scales row-wise by that
     # head's temperature (net/LCA.py:33)
     temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
@@ -119,6 +128,11 @@ def channel_attention(
         block = jnp.asarray(head_id[:, None] == head_id[None, :])
         scores = jnp.where(block[None], scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
+    if w_proj is not None and os.environ.get("ATTN_PROJ_FOLD", "1") == "1":
+        # fold the downstream 1x1 projection into the tiny attention matrix:
+        # proj(attn @ v) == (proj^T attn) @ v — removes one full-size
+        # read+write of the attention output per site
+        attn = jnp.einsum("co,bcd->bod", w_proj[0, 0].astype(jnp.float32), attn)
     # no preferred_element_type: the MXU accumulates fp32 internally and
     # rounds once to the output dtype — requesting f32 out materializes an
     # extra full-size cast pass per attention site
@@ -138,8 +152,10 @@ def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> j
     w_kvdw = p[prefix + ".kv_dwconv.weight"]
     k = dwconv3x3(conv1x1(y, w_kv[..., :dim]), w_kvdw[..., :dim])
     v = dwconv3x3(conv1x1(y, w_kv[..., dim:]), w_kvdw[..., dim:])
-    out = channel_attention(q, k, v, p[prefix + ".temperature"], heads)
-    return conv1x1(out, p[prefix + ".project_out.weight"])
+    return channel_attention(
+        q, k, v, p[prefix + ".temperature"], heads,
+        w_proj=p[prefix + ".project_out.weight"],
+    )
 
 
 def iel(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
