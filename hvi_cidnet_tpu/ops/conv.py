@@ -86,8 +86,41 @@ def conv3x3_replpad(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
     Reference: the ``nn.Sequential`` stems HVE_block0/IE_block0 and heads
     HVD_block0/ID_block0 (net/CIDNet.py:21-24,32-35,39-42,50-53).
+
+    Implemented as a zero-SAME conv plus exact border corrections on
+    1-pixel strips: materializing the replication-padded activation costs
+    a full read+write of the (H+2, W+2) tensor (~10 ms per 36-channel L0
+    head at the bench shape), while the strips are ~1/H of that.  The
+    correction adds the taps SAME zeroed out, with replication clamping:
+    rows via the kernel's dy=+-1 rows on edge-padded 1-row strips, cols
+    via dx=+-1 columns on edge-padded 1-col strips, minus the corner taps
+    both corrections double-count.
     """
-    return conv2d(replication_pad(x, 1), w, padding="VALID")
+    out = conv2d(x, w, padding="SAME")
+    h_, w_ = x.shape[0], x.shape[1]
+
+    def strip_conv(strip, kern):
+        """VALID conv of an edge-padded strip with a 1x3 / 3x1 kernel row."""
+        pad_h = (1, 1) if kern.shape[0] == 3 else (0, 0)
+        pad_w = (1, 1) if kern.shape[1] == 3 else (0, 0)
+        padded = jnp.pad(strip, (pad_h, pad_w, (0, 0), (0, 0)), mode="edge")
+        return conv2d(padded, kern, padding="VALID")
+
+    top = strip_conv(x[0:1], w[0:1])          # dy=-1 taps, clamped to row 0
+    bot = strip_conv(x[h_ - 1:h_], w[2:3])    # dy=+1 taps
+    left = strip_conv(x[:, 0:1], w[:, 0:1])   # dx=-1 taps
+    right = strip_conv(x[:, w_ - 1:w_], w[:, 2:3])
+
+    out = out.at[0:1].add(top).at[h_ - 1:h_].add(bot)
+    out = out.at[:, 0:1].add(left).at[:, w_ - 1:w_].add(right)
+
+    # corners: the (dy, dx) = (+-1, +-1) tap appears in both a row and a
+    # col correction — subtract it once
+    for (r, c, ky, kx) in ((0, 0, 0, 0), (0, w_ - 1, 0, 2),
+                           (h_ - 1, 0, 2, 0), (h_ - 1, w_ - 1, 2, 2)):
+        corner = jnp.einsum("co,cb->ob", w[ky, kx].astype(x.dtype), x[r, c])
+        out = out.at[r, c].add(-corner)
+    return out
 
 
 def conv3x3_same(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
