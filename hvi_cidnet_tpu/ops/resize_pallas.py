@@ -73,23 +73,24 @@ def _wspec_row(n):
 
 
 def _half_kernel(x0_ref, xp_ref, ha_ref, hb_ref, hc_ref, wa_ref, wb_ref, wc_ref,
-                 alpha_ref, o_ref, scr, mid, *, th, w, use_prelu):
-    # NOTE Mosaic: strided slices are supported on REFS, not on values
-    # (value stride lowers to an unsupported >2D gather) — every strided
-    # access below therefore goes through a scratch ref.
+                 alpha_ref, o_ref, mid, *, th, w, use_prelu):
+    # NOTE Mosaic: strided slices are supported on REFS only (value strides
+    # lower to unsupported >2D gathers) and strided loads/stores are
+    # 32-bit-only.  The H combine avoids strides entirely — each output row
+    # reads its three input rows CONTIGUOUSLY from the (bf16) input block —
+    # so only the W stage needs the f32 ``mid`` scratch.
     wo = w // 2
-    # scratches are f32: Mosaic strided loads are 32-bit-only, and f32
-    # interior keeps the fp32 path exact
-    scr[0:2 * th] = x0_ref[:].astype(jnp.float32)
-    scr[2 * th] = xp_ref[0].astype(jnp.float32)  # garbage on the last tile; hc is 0 there
-
-    dt = scr.dtype
-    e = scr[0:2 * th:2]
-    o = scr[1:2 * th:2]
-    n = scr[2:2 * th + 1:2]
-    mid[:, 0:w] = (e * ha_ref[:].astype(dt) + o * hb_ref[:].astype(dt)
-                   + n * hc_ref[:].astype(dt))
+    f32 = jnp.float32
+    for i in range(th):
+        r0 = x0_ref[2 * i].astype(f32)
+        r1 = x0_ref[2 * i + 1].astype(f32)
+        # row 2i+2: within the block except for the tile's last output row,
+        # which reads the next block's first row (garbage on the final
+        # tile; its hc weight is 0)
+        r2 = (x0_ref[2 * i + 2] if 2 * i + 2 < 2 * th else xp_ref[0]).astype(f32)
+        mid[i, 0:w] = r0 * ha_ref[i] + r1 * hb_ref[i] + r2 * hc_ref[i]
     mid[:, w:w + 1] = jnp.zeros_like(mid[:, w:w + 1])  # col w: wc is 0 there
+    dt = f32
 
     we = mid[:, 0:2 * wo:2]
     wod = mid[:, 1:2 * wo:2]
@@ -109,7 +110,7 @@ def scale_half_pallas(x: jnp.ndarray, *, prelu_alpha=None, interpret: bool = Fal
     ha, hb, hc = _band_weights(h, ho, [lambda i: 2 * i, lambda i: 2 * i + 1, lambda i: 2 * i + 2])
     wa, wb, wc = _band_weights(w, wo, [lambda i: 2 * i, lambda i: 2 * i + 1, lambda i: 2 * i + 2])
 
-    th = _pick_th(ho, 3.2 * 2 * w * c * b * 4)
+    th = _pick_th(ho, 5.0 * w * c * b * 4)
     nt = ho // th
     use_prelu = prelu_alpha is not None
     alpha = jnp.asarray(prelu_alpha if use_prelu else 0.0, jnp.float32).reshape(1, 1)
@@ -127,10 +128,7 @@ def scale_half_pallas(x: jnp.ndarray, *, prelu_alpha=None, interpret: bool = Fal
         ],
         out_specs=pl.BlockSpec((th, wo, c, b), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((ho, wo, c, b), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2 * th + 1, w, c, b), jnp.float32),
-            pltpu.VMEM((th, w + 1, c, b), jnp.float32),
-        ],
+        scratch_shapes=[pltpu.VMEM((th, w + 1, c, b), jnp.float32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(x, x, _col(ha), _col(hb), _col(hc), _row(wa), _row(wb), _row(wc), alpha)
@@ -144,14 +142,14 @@ def scale_half_pallas(x: jnp.ndarray, *, prelu_alpha=None, interpret: bool = Fal
 def _double_kernel(xm_ref, x0_ref, xp_ref, hae_ref, hbe_ref, hao_ref, hbo_ref,
                    wae_ref, wbe_ref, wao_ref, wbo_ref, o_ref, scr, mid, out_scr,
                    *, th, w):
-    scr[0] = xm_ref[0].astype(jnp.float32)       # row a-1 (weight 0 at the true top edge)
-    scr[1:th + 1] = x0_ref[:].astype(jnp.float32)
-    scr[th + 1] = xp_ref[0].astype(jnp.float32)  # row a+th (weight 0 at the true bottom edge)
+    scr[0] = xm_ref[0]       # row a-1 (weight 0 at the true top edge)
+    scr[1:th + 1] = x0_ref[:]
+    scr[th + 1] = xp_ref[0]  # row a+th (weight 0 at the true bottom edge)
 
-    dt = scr.dtype
-    cur = scr[1:th + 1]
-    prev = scr[0:th]
-    nxt = scr[2:th + 2]
+    dt = jnp.float32
+    cur = scr[1:th + 1].astype(dt)
+    prev = scr[0:th].astype(dt)
+    nxt = scr[2:th + 2].astype(dt)
     # mid data lives in cols [1, w+1); cols 0 and w+1 are zeroed so the
     # edge taps (whose weights are 0) never touch uninitialized VMEM
     mid[:, 0:1] = jnp.zeros_like(mid[:, 0:1])
@@ -178,7 +176,7 @@ def scale_double_pallas(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarr
     wae_f, wbe_f = _band_weights(w, ow, [lambda i: i // 2 - 1, lambda i: i // 2])
     wao_f, wbo_f = _band_weights(w, ow, [lambda i: i // 2, lambda i: i // 2 + 1])
 
-    th = _pick_th(h, 11.0 * w * c * b * 4)
+    th = _pick_th(h, 9.0 * w * c * b * 4)
     nt = h // th
 
     kern = functools.partial(_double_kernel, th=th, w=w)
@@ -195,7 +193,7 @@ def scale_double_pallas(x: jnp.ndarray, *, interpret: bool = False) -> jnp.ndarr
         out_specs=pl.BlockSpec((2 * th, ow, c, b), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((oh, ow, c, b), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((th + 2, w, c, b), jnp.float32),
+            pltpu.VMEM((th + 2, w, c, b), x.dtype),
             pltpu.VMEM((2 * th, w + 2, c, b), jnp.float32),
             pltpu.VMEM((2 * th, 2 * w, c, b), jnp.float32),
         ],
