@@ -45,6 +45,9 @@ def parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", type=str, default=None, help="override weight path")
     p.add_argument("--variant", type=str, default="mssa", choices=["base", "mssa", "tnsm"])
     p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--eval_batch", type=int, default=8,
+                   help="images per device batch in bucketed eval; 128 engages "
+                        "the fused TPU resize kernels (serving mode)")
     return p
 
 
@@ -103,7 +106,7 @@ def main():
         gamma=ep.gamma,
         compute_dtype=jnp.dtype(ep.dtype),
     )
-    n = ev.run_dataset(EvalDataset(eval_dir, pad=pad), out)
+    n = ev.run_dataset(EvalDataset(eval_dir, pad=pad), out, batch_size=ep.eval_batch)
     print(f"===> End evaluation ({n} images)")
 
 
