@@ -14,7 +14,6 @@ block documents its reference counterpart with file:line.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np
@@ -99,14 +98,8 @@ def channel_attention(
     c = q.shape[2]
     cp = c // heads
 
-    hoist_norm = os.environ.get("ATTN_NORM_HOIST", "1") == "1"
-    if normalize_qk and not hoist_norm:
-        def _nrm(t):
-            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1), keepdims=True)
-            return t * jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).astype(t.dtype)
-        q, k = _nrm(q), _nrm(k)
     scores = jnp.einsum("hwcb,hwdb->bcd", q, k, preferred_element_type=jnp.float32)
-    if normalize_qk and hoist_norm:
+    if normalize_qk:
         # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12)
         # applied to q and k.  Algebraically hoisted PAST the contraction:
         # (q/|q|)·(k/|k|) == (q·k) / (|q||k|) — the raw scores are rescaled
@@ -128,7 +121,7 @@ def channel_attention(
         block = jnp.asarray(head_id[:, None] == head_id[None, :])
         scores = jnp.where(block[None], scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
-    if w_proj is not None and os.environ.get("ATTN_PROJ_FOLD", "1") == "1":
+    if w_proj is not None:
         # fold the downstream 1x1 projection into the tiny attention matrix:
         # proj(attn @ v) == (proj^T attn) @ v — removes one full-size
         # read+write of the attention output per site
