@@ -48,6 +48,10 @@ def parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch", type=int, default=8,
                    help="images per device batch in bucketed eval; 128 engages "
                         "the fused TPU resize kernels (serving mode)")
+    p.add_argument("--max_programs", type=int, default=12,
+                   help="bound on distinct XLA programs for arbitrary-size "
+                        "(unpaired/custom) sets; paired sets always use the "
+                        "exact pad-to-x8 contract")
     return p
 
 
@@ -105,6 +109,9 @@ def main():
         gates,
         gamma=ep.gamma,
         compute_dtype=jnp.dtype(ep.dtype),
+        # arbitrary-size sets get a bounded program count; paired sets keep
+        # the exact x8 pad (released-checkpoint metric parity)
+        max_programs=ep.max_programs if (ep.unpaired or ep.custome) else None,
     )
     n = ev.run_dataset(EvalDataset(eval_dir, pad=pad), out, batch_size=ep.eval_batch)
     print(f"===> End evaluation ({n} images)")

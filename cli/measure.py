@@ -9,7 +9,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from hvi_cidnet_tpu.eval.measure import metrics
+from hvi_cidnet_tpu.eval.measure import fmt_metric, metrics
 
 p = argparse.ArgumentParser(description="Measure")
 p.add_argument("--use_GT_mean", action="store_true")
@@ -51,10 +51,10 @@ if mea.lpips_weights:
 
     lpips_params = load_lpips_torch(mea.lpips_weights)
 else:
-    print("note: LPIPS reported as 0.0 — no pretrained AlexNet weights "
+    print("note: LPIPS reported as n/a — no pretrained AlexNet weights "
           "available offline; pass --lpips_weights for real scores")
 
 avg_psnr, avg_ssim, avg_lpips = metrics(im_dir, label_dir, mea.use_GT_mean, lpips_params=lpips_params)
 print(f"===> Avg.PSNR: {avg_psnr:.4f} dB")
 print(f"===> Avg.SSIM: {avg_ssim:.4f}")
-print(f"===> Avg.LPIPS: {avg_lpips:.4f}")
+print(f"===> Avg.LPIPS: {fmt_metric(avg_lpips)}")

@@ -18,6 +18,7 @@ import numpy as np
 from PIL import Image
 
 from hvi_cidnet_tpu.data.datasets import is_image_file
+from hvi_cidnet_tpu.eval.measure import fmt_metric
 from hvi_cidnet_tpu.metrics.psnr_ssim import gt_mean_rectify, psnr, ssim_matlab
 
 p = argparse.ArgumentParser(description="Measure")
@@ -81,4 +82,4 @@ if n == 0:
     raise SystemExit("no image pairs found")
 print(f"===> Avg.PSNR: {tp / n:.4f} dB")
 print(f"===> Avg.SSIM: {ts / n:.4f}")
-print(f"===> Avg.LPIPS: {tl / n:.4f}")
+print(f"===> Avg.LPIPS: {fmt_metric(tl / n if lp_fn else float('nan'))}")

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from hvi_cidnet_tpu.data.datasets import EvalDataset, PairedFolderDataset, SceneFolderDataset
 from hvi_cidnet_tpu.data.pipeline import TrainLoader
 from hvi_cidnet_tpu.eval.evaluator import Evaluator, gates_for_dataset
-from hvi_cidnet_tpu.eval.measure import metrics
+from hvi_cidnet_tpu.eval.measure import fmt_metric, metrics
 from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, init_cidnet
 from hvi_cidnet_tpu.parallel.mesh import batch_sharding, make_mesh, shard_params
 from hvi_cidnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
@@ -232,7 +232,7 @@ def main():
                 out_dir = os.path.join(opt.val_folder, out_folder)
                 ev.run_dataset(val_set, out_dir)
                 avg_psnr, avg_ssim, avg_lpips = metrics(os.path.join(out_dir, "*.png"), gt_dir)
-                print(f"===> Avg.PSNR: {avg_psnr:.4f} dB  SSIM: {avg_ssim:.4f}  LPIPS: {avg_lpips:.4f}")
+                print(f"===> Avg.PSNR: {avg_psnr:.4f} dB  SSIM: {avg_ssim:.4f}  LPIPS: {fmt_metric(avg_lpips)}")
                 psnrs.append(avg_psnr)
                 ssims.append(avg_ssim)
                 lpipss.append(avg_lpips)
@@ -247,7 +247,7 @@ def main():
             f.write(f"{k}: {getattr(opt, k)}\n")
         f.write("| Epochs | PSNR | SSIM | LPIPS |\n|---|---|---|---|\n")
         for i in range(len(psnrs)):
-            f.write(f"| {start_epoch + (i + 1) * opt.snapshots} | {psnrs[i]:.4f} | {ssims[i]:.4f} | {lpipss[i]:.4f} |\n")
+            f.write(f"| {start_epoch + (i + 1) * opt.snapshots} | {psnrs[i]:.4f} | {ssims[i]:.4f} | {fmt_metric(lpipss[i])} |\n")
     print("===> training done")
 
 

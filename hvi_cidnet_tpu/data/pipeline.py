@@ -90,6 +90,11 @@ class TrainLoader:
                 if self.sharding is not None:
                     lows = jax.device_put(lows, self.sharding)
                     highs = jax.device_put(highs, self.sharding)
+                else:
+                    # still transfer here (async dispatch) so H2D overlaps the
+                    # previous step instead of blocking at jit dispatch
+                    lows = jax.device_put(lows)
+                    highs = jax.device_put(highs)
                 yield lows, highs
         finally:
             stop.set()

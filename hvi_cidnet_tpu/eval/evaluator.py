@@ -30,6 +30,29 @@ def _bucket(h: int, w: int, factor: int = 8) -> Tuple[int, int]:
     return ((h + factor - 1) // factor * factor, (w + factor - 1) // factor * factor)
 
 
+def plan_bucket_quantum(
+    shapes, factor: int = 8, max_programs: Optional[int] = None
+) -> int:
+    """Pick the padding quantum that bounds the number of XLA programs.
+
+    Paired sets (uniform sizes) stay at the reference's exact pad-to-x``factor``
+    contract.  Unpaired sets (DICM/LIME/MEF/NPE/VV — arbitrary sizes) would
+    compile one program per distinct image size; doubling the quantum until
+    the distinct padded-shape count fits ``max_programs`` bounds compile time
+    while keeping the reference's pad-then-crop contract (eval_sets.py:23-29).
+    """
+    q = factor
+    if max_programs is None:
+        return q
+    shapes = list(shapes)
+    while q < 1 << 14:
+        n = len({_bucket(h, w, q) for h, w in shapes})
+        if n <= max_programs:
+            break
+        q *= 2
+    return q
+
+
 def _pad_to(img: np.ndarray, bh: int, bw: int) -> np.ndarray:
     """Reflect-pad like the reference (eval_sets.py:23-28); numpy 'reflect'
     requires pad < dim, so fall back to edge mode for sliver images (a 30-px
@@ -49,6 +72,7 @@ class Evaluator:
         gamma: float = 1.0,
         compute_dtype=jnp.float32,
         bucket_factor: int = 8,
+        max_programs: Optional[int] = None,
     ):
         self.params = load_any(weights) if isinstance(weights, str) else weights
         self.config = config
@@ -56,7 +80,9 @@ class Evaluator:
         self.gamma = gamma
         self.compute_dtype = compute_dtype
         self.bucket_factor = bucket_factor
+        self.max_programs = max_programs
         self._jit = jax.jit(self._forward)
+        self._compiled_shapes: set = set()  # recompile-count log
 
     def _forward(self, params, x):
         x = jnp.power(x, self.gamma) if self.gamma != 1.0 else x  # eval.py:64
@@ -77,6 +103,7 @@ class Evaluator:
 
     def enhance_batch(self, imgs: np.ndarray) -> np.ndarray:
         """Enhance a stacked NHWC batch (same padded shape)."""
+        self._compiled_shapes.add(imgs.shape)
         out = self._jit(self.params, jnp.asarray(imgs, self.compute_dtype))
         return np.asarray(out)
 
@@ -94,7 +121,7 @@ class Evaluator:
         from PIL import Image
 
         os.makedirs(output_folder, exist_ok=True)
-        buckets = defaultdict(list)  # (bh, bw) -> [(idx, img, name, h, w)]
+        entries = []
         for i in range(len(dataset)):
             item = dataset[i]
             if len(item) == 4:
@@ -102,14 +129,35 @@ class Evaluator:
             else:
                 img, name = item
                 h, w = img.shape[:2]
-            buckets[_bucket(img.shape[0], img.shape[1], self.bucket_factor)].append(
+            entries.append((img, name, h, w))
+        # plan the padded-shape set up front: exact x8 for uniform paired
+        # sets, quantum escalated until the program count fits max_programs
+        # for arbitrary-size unpaired sets
+        quantum = plan_bucket_quantum(
+            [(im.shape[0], im.shape[1]) for im, _, _, _ in entries],
+            self.bucket_factor,
+            self.max_programs,
+        )
+        buckets = defaultdict(list)  # (bh, bw) -> [(img, name, h, w)]
+        for img, name, h, w in entries:
+            buckets[_bucket(img.shape[0], img.shape[1], quantum)].append(
                 (img, name, h, w)
+            )
+        if verbose:
+            print(
+                f"eval buckets: {len(buckets)} XLA program shape(s), "
+                f"pad quantum {quantum}"
             )
         n = 0
         for (bh, bw), items in buckets.items():
             for start in range(0, len(items), batch_size):
                 chunk = items[start : start + batch_size]
                 stacked = np.stack([_pad_to(im, bh, bw) for im, _, _, _ in chunk])
+                if self.max_programs is not None and len(chunk) < batch_size:
+                    # short tail chunk would compile an extra program at a new
+                    # batch dim; repeat the last row (outputs discarded below)
+                    reps = np.repeat(stacked[-1:], batch_size - len(chunk), axis=0)
+                    stacked = np.concatenate([stacked, reps], axis=0)
                 outs = self.enhance_batch(stacked)
                 for (im, name, h, w), out in zip(chunk, outs):
                     # quantize exactly like torchvision ToPILImage's

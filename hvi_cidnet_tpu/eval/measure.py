@@ -20,6 +20,15 @@ from hvi_cidnet_tpu.metrics.psnr_ssim import gt_mean_rectify, psnr, ssim_matlab
 _GT_EXTS = ["", ".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG"]
 
 
+def fmt_metric(value: float, fmt: str = "{:.4f}") -> str:
+    """Render a metric for reports: NaN (metric unavailable — e.g. LPIPS
+    without AlexNet weights, BRISQUE without an SVR model) prints as "n/a",
+    never as a fake 0.0000."""
+    if value != value:  # NaN
+        return "n/a"
+    return fmt.format(value)
+
+
 def _find_gt(label_dir: str, name: str) -> Optional[str]:
     """Extension fallback chain (measure.py:115-131)."""
     stem = os.path.splitext(name)[0]
@@ -44,8 +53,10 @@ def metrics(
     """Average (psnr, ssim, lpips) over ``glob(im_dir)`` vs ``label_dir``.
 
     LPIPS uses the JAX implementation when ``lpips_params`` is given (load via
-    metrics.lpips.load_lpips_torch); otherwise it is reported as 0 with a
-    notice — pretrained AlexNet weights can't be fetched in this environment.
+    metrics.lpips.load_lpips_torch); otherwise it is reported as **NaN** —
+    pretrained AlexNet weights can't be fetched in this environment, and a
+    fabricated 0.0 would read as a perfect score.  Callers should print
+    ``fmt_metric(lpips)`` so absent metrics render as "n/a".
     """
     from PIL import Image
 
@@ -87,8 +98,12 @@ def metrics(
     if n == 0:
         if verbose:
             print("error: no images evaluated")
-        return 0.0, 0.0, 0.0
-    return total_psnr / n, total_ssim / n, total_lpips / n
+        return float("nan"), float("nan"), float("nan")
+    return (
+        total_psnr / n,
+        total_ssim / n,
+        total_lpips / n if lp_fn is not None else float("nan"),
+    )
 
 
 def unpaired_metrics(im_dir: str, *, brisque_model: Optional[str] = None, verbose: bool = True):

@@ -70,7 +70,11 @@ def spatial_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gam
         ph = (mh - h % mh) % mh
         pw = (8 - w % 8) % 8
         if ph or pw:
-            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="reflect")
+            # reflect needs pad < dim; a sliver image (e.g. H=30 on an 8-chip
+            # mesh needing ph=34) falls back to edge mode, mirroring
+            # eval/evaluator.py:_pad_to
+            mode = "reflect" if ph < h and pw < w else "edge"
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
         y = jnp.power(x, gamma) if gamma != 1.0 else x
         out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype)
         if config.variant == "tnsm":
