@@ -18,6 +18,8 @@ from hvi_cidnet_tpu.models.cidnet import (
     init_cidnet,
 )
 
+pytestmark = pytest.mark.heavy
+
 ATOL = 2e-5
 
 

@@ -6,11 +6,14 @@ of truth; this is the fast tripwire).  Values recorded on CPU fp32 at commit
 d7b8f28 after the NHCW layout work.
 """
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
+
+pytestmark = pytest.mark.heavy
 
 TINY = CIDNetConfig(channels=(8, 8, 16, 32), heads=(1, 2, 4, 8))
 

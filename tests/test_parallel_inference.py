@@ -14,6 +14,8 @@ from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, cidnet_forward,
 from hvi_cidnet_tpu.parallel.inference import dp_enhance_fn, spatial_enhance_fn
 from hvi_cidnet_tpu.parallel.mesh import make_mesh
 
+pytestmark = pytest.mark.heavy
+
 REAL = {
     "base": CIDNetConfig(variant="base"),
     "mssa": CIDNetConfig(variant="mssa"),

@@ -16,6 +16,8 @@ from hvi_cidnet_tpu.train.trainer import (
     nonfinite_guard,
     set_learning_rate,
 )
+
+pytestmark = pytest.mark.heavy
 from hvi_cidnet_tpu.train.checkpoint import (
     latest_epoch,
     load_checkpoint,

@@ -7,6 +7,8 @@ from PIL import Image
 from hvi_cidnet_tpu.eval.measure import unpaired_metrics
 from hvi_cidnet_tpu.metrics.brisque import brisque_features
 
+pytestmark = pytest.mark.heavy
+
 
 def _smooth_img(hw=(192, 192), seed=0):
     import cv2
