@@ -170,7 +170,9 @@ def main():
         print(f"===> data-parallel over {n_dev} devices")
     sharding = batch_sharding(mesh) if n_dev > 1 else None
 
-    step = make_train_step(tcfg, optimizer)
+    # shard_map over the mesh when multi-chip: per-shard traces keep the
+    # Mosaic kernels SPMD-legal (ops/pallas_gate.py)
+    step = make_train_step(tcfg, optimizer, mesh=mesh if n_dev > 1 else None)
     sched = build_reference_schedule(
         opt.lr,
         opt.nEpochs,

@@ -31,6 +31,7 @@ class TrainLoader:
         shuffle: bool = True,
         prefetch: int = 4,
         sharding=None,
+        device_put: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -38,6 +39,9 @@ class TrainLoader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.sharding = sharding
+        # device_put=False yields host numpy batches — the multi-host loader
+        # (parallel/multihost.py) assembles global arrays itself
+        self.device_put = device_put
         self._rng = np.random.default_rng(seed)
         self.steps_per_epoch = max(1, len(dataset) // batch_size)
         # persistent pool: a fresh executor per batch cost thread spawn +
@@ -90,7 +94,7 @@ class TrainLoader:
                 if self.sharding is not None:
                     lows = jax.device_put(lows, self.sharding)
                     highs = jax.device_put(highs, self.sharding)
-                else:
+                elif self.device_put:
                     # still transfer here (async dispatch) so H2D overlaps the
                     # previous step instead of blocking at jit dispatch
                     lows = jax.device_put(lows)

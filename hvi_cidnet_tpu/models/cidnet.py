@@ -26,6 +26,7 @@ import numpy as np
 
 from hvi_cidnet_tpu.ops.hvi import rgb_to_hvi, hvi_to_rgb
 from hvi_cidnet_tpu.ops import hvi_pallas as _hvi_pallas
+from hvi_cidnet_tpu.ops import pallas_gate as _pallas_gate
 from hvi_cidnet_tpu.ops.conv import (
     CH_AXIS,
     conv1x1,
@@ -292,12 +293,32 @@ def cidnet_forward(
     *,
     compute_dtype=jnp.float32,
     training: bool = False,
+    use_pallas: bool = True,
 ):
     """Forward pass for any variant.  x: (B,H,W,3) RGB in [0,1], H,W % 8 == 0.
 
     Returns RGB for base/mssa; ``(rgb, fused_noise|None)`` for tnsm
     (net/CIDNet_TNSM.py:248-294 returns noise only in training mode).
+
+    ``use_pallas=False`` removes every Mosaic kernel from this trace —
+    required when the program will be GSPMD-partitioned over a mesh
+    (parallel/inference.py:spatial_enhance_fn; ops/pallas_gate.py).
     """
+    with _pallas_gate.allow_pallas(use_pallas):
+        return _forward_impl(
+            p, x, config, gates, compute_dtype=compute_dtype, training=training
+        )
+
+
+def _forward_impl(
+    p: Params,
+    x: jnp.ndarray,
+    config: CIDNetConfig,
+    gates: HVIGates,
+    *,
+    compute_dtype,
+    training: bool,
+):
     nrm = config.norm
     _, h2, h3, h4 = config.heads
     variant = config.variant

@@ -59,7 +59,8 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     Reference NormUpsample (net/transformer_utils.py:50-70).
     """
     x = conv3x3_same(x, p[prefix + ".up_scale.0.weight"])
-    x = double_bilinear(x)  # Pallas at lane-aligned batches: 48.4 -> 12.0 ms @L1
+    # Pallas at lane-aligned batches: 48.4 -> 12.0 ms @L1
+    x = double_bilinear(x)
     # concat + 1x1 conv == sum of two 1x1 convs on the operands (weights
     # sliced at trace time) — skips materializing the 2C concat tensor
     w_up = p[prefix + ".up.weight"]

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import numpy as np
 import jax
@@ -32,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hvi_cidnet_tpu.ops import hvi as _ref
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
 
 PI = _ref.PI
 _EPS = 1e-8
@@ -40,10 +42,12 @@ _ROWS = 256  # rows per grid step: 256x128 fp32 tile = 128 KB/plane in VMEM
 
 
 def should_use_pallas() -> bool:
-    """Default-on for TPU backends; HVI_USE_PALLAS=0 opts out."""
+    """Default-on for TPU backends (or forced interpret mode);
+    HVI_USE_PALLAS=0 opts out.  SPMD safety is structural — see
+    ops/pallas_gate.py."""
     if os.environ.get("HVI_USE_PALLAS", "1") == "0":
         return False
-    return jax.default_backend() == "tpu"
+    return pallas_allowed() and backend_ok()
 
 
 # ---------------------------------------------------------------------------
@@ -213,8 +217,10 @@ def _rgb_bwd(interpret, res, ct):
 _rgb_to_hvi_p.defvjp(_rgb_fwd, _rgb_bwd)
 
 
-def rgb_to_hvi_pallas(img: jnp.ndarray, k, *, interpret: bool = False) -> jnp.ndarray:
+def rgb_to_hvi_pallas(img: jnp.ndarray, k, *, interpret: Optional[bool] = None) -> jnp.ndarray:
     """Fused-kernel RGB->HVI (reference HVIT, HVI_transform.py:16-47)."""
+    if interpret is None:
+        interpret = force_interpret()
     return _rgb_to_hvi_p(img, jnp.asarray(k, jnp.float32).reshape(()), interpret)
 
 
@@ -259,9 +265,11 @@ def hvi_to_rgb_pallas(
     gated2: bool = False,
     alpha: float = 1.0,
     alpha_s: float = 1.3,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused-kernel HVI->RGB (reference PHVIT, HVI_transform.py:49-122)."""
+    if interpret is None:
+        interpret = force_interpret()
     return _hvi_to_rgb_p(
         hvi,
         jnp.asarray(k, jnp.float32).reshape(()),

@@ -31,15 +31,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hvi_cidnet_tpu.ops.resize import _band_weights
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
 
 
 def use_resize_pallas(b: int) -> bool:
-    """TPU only, and B a lane-tile multiple (otherwise (C, B) tiles pad the
-    lane dim 8-16x and the kernel loses to XLA; small-batch eval/train take
-    the banded path)."""
+    """TPU (or forced interpret mode), kernels allowed in this trace, and B
+    a lane-tile multiple (otherwise (C, B) tiles pad the lane dim 8-16x and
+    the kernel loses to XLA; small-batch eval/train take the banded path).
+    SPMD safety is structural — see ops/pallas_gate.py."""
     if os.environ.get("RESIZE_USE_PALLAS", "1") != "1":
         return False
-    return jax.default_backend() == "tpu" and b % 128 == 0
+    return pallas_allowed() and backend_ok() and b % 128 == 0
 
 
 def _pick_th(h_units: int, bytes_per_unit: float, budget=40 * 1024 * 1024) -> int:
@@ -217,20 +219,12 @@ def _xla_half_prelu(x, alpha):
 
 
 @jax.custom_vjp
-def half_prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
-    """bilinear x0.5 + PReLU, fused on TPU when the batch is lane-aligned.
-
-    NOTE: the Pallas path has no SPMD partitioner — under a sharded jit the
-    mesh tests run on CPU (gate off); kill with RESIZE_USE_PALLAS=0 if a
-    real multi-chip program ever traces through here.
-    """
-    if use_resize_pallas(x.shape[3]):
-        return scale_half_pallas(x, prelu_alpha=alpha)
-    return _xla_half_prelu(x, alpha)
+def _half_prelu_p(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    return scale_half_pallas(x, prelu_alpha=alpha, interpret=force_interpret())
 
 
 def _half_fwd(x, alpha):
-    return half_prelu(x, alpha), (x, alpha)
+    return _half_prelu_p(x, alpha), (x, alpha)
 
 
 def _half_bwd(res, ct):
@@ -239,7 +233,18 @@ def _half_bwd(res, ct):
     return vjp(ct)
 
 
-half_prelu.defvjp(_half_fwd, _half_bwd)
+_half_prelu_p.defvjp(_half_fwd, _half_bwd)
+
+
+def half_prelu(x: jnp.ndarray, alpha: jnp.ndarray) -> jnp.ndarray:
+    """bilinear x0.5 + PReLU, fused on TPU when the batch is lane-aligned.
+
+    GSPMD-partitioned traces (``cidnet_forward(use_pallas=False)``) always
+    take the banded XLA path via the trace-time gate; backward always does.
+    """
+    if use_resize_pallas(x.shape[3]):
+        return _half_prelu_p(x, alpha)
+    return _xla_half_prelu(x, alpha)
 
 
 def _xla_double(x):
@@ -249,15 +254,12 @@ def _xla_double(x):
 
 
 @jax.custom_vjp
-def double_bilinear(x: jnp.ndarray) -> jnp.ndarray:
-    """bilinear x2, fused on TPU when the batch is lane-aligned."""
-    if use_resize_pallas(x.shape[3]):
-        return scale_double_pallas(x)
-    return _xla_double(x)
+def _double_p(x: jnp.ndarray) -> jnp.ndarray:
+    return scale_double_pallas(x, interpret=force_interpret())
 
 
 def _double_fwd(x):
-    return double_bilinear(x), (x,)
+    return _double_p(x), (x,)
 
 
 def _double_bwd(res, ct):
@@ -266,4 +268,11 @@ def _double_bwd(res, ct):
     return vjp(ct)
 
 
-double_bilinear.defvjp(_double_fwd, _double_bwd)
+_double_p.defvjp(_double_fwd, _double_bwd)
+
+
+def double_bilinear(x: jnp.ndarray) -> jnp.ndarray:
+    """bilinear x2, fused on TPU when the batch is lane-aligned."""
+    if use_resize_pallas(x.shape[3]):
+        return _double_p(x)
+    return _xla_double(x)

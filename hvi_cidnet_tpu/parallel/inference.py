@@ -4,16 +4,19 @@ The reference is single-GPU (SURVEY.md §2.3); these are the TPU-native
 scaling paths:
 
 * ``dp_enhance_fn`` — batch sharded over the ``data`` mesh axis, params
-  replicated.  Linear throughput scaling for eval sweeps; XLA inserts no
-  collectives at all (embarrassingly parallel).
+  replicated, body wrapped in ``jax.shard_map``: each chip traces the
+  forward on its *local* shard, so the Mosaic kernels (which have no GSPMD
+  partitioner) run legally per chip and their lane-alignment gates see the
+  per-chip batch.  Embarrassingly parallel — no collectives.
 * ``spatial_enhance_fn`` — ONE image's rows sharded over the mesh (the
   reference's analog of sequence parallelism, SURVEY.md §5.7): XLA's SPMD
   partitioner inserts halo exchanges for the 3x3 convs and resizes over ICI
-  automatically.  This is how a single full-res frame (e.g. LOL-Blur
-  1280x720) can exceed one chip's HBM or latency budget.
+  automatically.  Because GSPMD owns this program, ``use_pallas=False`` is
+  passed through the forward — no Mosaic kernel ever lands in a
+  GSPMD-partitioned trace (see ops/pallas_gate.py for the full contract).
 
 Both return the SAME numbers as single-chip execution (mesh tests assert
-bitwise-close equality).
+bitwise-close equality, with kernels force-enabled in interpret mode).
 """
 
 from __future__ import annotations
@@ -29,22 +32,32 @@ from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates, cidnet_forward
 
 
 def dp_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: float = 1.0, compute_dtype=jnp.float32, axis: str = "data"):
-    """Jitted (params, batch NHWC) -> enhanced batch, batch sharded on mesh."""
+    """Jitted (params, batch NHWC) -> enhanced batch, batch sharded on mesh.
+
+    The global batch must divide the mesh size (the driver's serving
+    contract); each shard runs the single-chip program, kernels included.
+    """
     batch_sharding = NamedSharding(mesh, P(axis))
     replicated = NamedSharding(mesh, P())
 
-    @partial(
-        jax.jit,
-        in_shardings=(replicated, batch_sharding),
-        out_shardings=batch_sharding,
-    )
-    def fn(params, x):
+    def local_fn(params, x):
         y = jnp.power(x, gamma) if gamma != 1.0 else x
         out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype)
         if config.variant == "tnsm":
             out = out[0]
         return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
 
+    fn = jax.jit(
+        jax.shard_map(
+            local_fn,
+            mesh=mesh,
+            in_specs=(P(), P(axis)),
+            out_specs=P(axis),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata;
+            # the body is collective-free, so the vma checker adds nothing
+            check_vma=False,
+        )
+    )
     return fn, batch_sharding, replicated
 
 
@@ -76,7 +89,8 @@ def spatial_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gam
             mode = "reflect" if ph < h and pw < w else "edge"
             x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
         y = jnp.power(x, gamma) if gamma != 1.0 else x
-        out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype)
+        # GSPMD partitions this trace -> Mosaic kernels are disallowed
+        out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype, use_pallas=False)
         if config.variant == "tnsm":
             out = out[0]
         out = out[:, :h, :w]

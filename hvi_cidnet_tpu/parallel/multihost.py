@@ -1,0 +1,132 @@
+"""Multi-process (pod-scale) data-parallel input feed.
+
+The reference is a single-GPU trainer (train.py:34); at pod scale each host
+process addresses only its local chips, so the input pipeline must shard the
+*production* of every global batch across processes and assemble a global
+``jax.Array`` without any host ever materializing the full batch
+(SURVEY.md §2.3 item 2, §5.8).
+
+Launch contract (one process per host, standard JAX distributed runtime):
+
+    jax.distributed.initialize()          # or initialize_distributed()
+    mesh = make_mesh(axis_names=("data",))
+    loader = MultiHostTrainLoader(dataset, global_batch, mesh=mesh, seed=...)
+    for low, high in loader.epoch(): ...  # low/high are GLOBAL sharded Arrays
+
+Every process must run the same schedule (same seed -> same global index
+order); each decodes only the slice of each batch that lands on its local
+devices, and ``jax.make_array_from_process_local_data`` stitches the
+per-process shards into one global array addressed by the jitted step.
+Single-process runs (including the 8-fake-device CPU mesh tests) take the
+identical code path with ``process_count == 1``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from hvi_cidnet_tpu.data.pipeline import TrainLoader
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Idempotent ``jax.distributed.initialize`` wrapper (pod launch)."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized (e.g. single-process dev runs)
+
+
+def process_local_slice(
+    global_batch: int,
+    *,
+    process_index: Optional[int] = None,
+    process_count: Optional[int] = None,
+) -> slice:
+    """This process's contiguous row range of every global batch.
+
+    Row-contiguous slicing matches ``P("data")`` sharding when the mesh's
+    device order follows process order (the default for TPU pod slices):
+    process p's local devices hold rows [p*per, (p+1)*per).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if global_batch % pc:
+        raise ValueError(f"global batch {global_batch} not divisible by {pc} processes")
+    per = global_batch // pc
+    return slice(pi * per, (pi + 1) * per)
+
+
+class MultiHostTrainLoader:
+    """Process-sharded batch producer yielding global sharded ``jax.Array``s.
+
+    Wraps the single-process ``TrainLoader`` machinery: every process draws
+    the SAME global index permutation (shared seed), decodes only its
+    ``process_local_slice`` of each batch, and assembles the global array
+    with ``jax.make_array_from_process_local_data``.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        global_batch: int,
+        *,
+        mesh: Mesh,
+        axis: str = "data",
+        seed: int = 0,
+        num_threads: int = 8,
+        shuffle: bool = True,
+        prefetch: int = 4,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
+    ):
+        self.global_batch = global_batch
+        self.sharding = NamedSharding(mesh, P(axis))
+        self.local = process_local_slice(
+            global_batch, process_index=process_index, process_count=process_count
+        )
+        # the inner loader produces *local* batches on the host (prefetched
+        # via its producer thread); global-array assembly happens here
+        self._inner = TrainLoader(
+            dataset,
+            global_batch,
+            seed=seed,
+            num_threads=num_threads,
+            shuffle=shuffle,
+            prefetch=prefetch,
+            sharding=None,
+            device_put=False,
+        )
+        # decode only the local rows of each global batch
+        self._inner._make_batch = self._make_local_batch  # type: ignore[assignment]
+        self.steps_per_epoch = self._inner.steps_per_epoch
+
+    def _make_local_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        # every process advances the SAME augmentation rng stream for the
+        # full global batch, then decodes only its slice — keeps crops/flips
+        # deterministic and process-independent
+        seeds = self._inner._rng.integers(0, 2**31, size=len(indices))
+        local_idx = indices[self.local]
+        local_seeds = seeds[self.local]
+
+        def one(args):
+            idx, s = args
+            return self._inner.dataset.sample(int(idx), np.random.default_rng(int(s)))
+
+        pairs = list(self._inner._pool.map(one, zip(local_idx, local_seeds)))
+        lows = np.stack([p[0] for p in pairs])
+        highs = np.stack([p[1] for p in pairs])
+        return lows, highs
+
+    def close(self):
+        self._inner.close()
+
+    def epoch(self) -> Iterator[Tuple[jax.Array, jax.Array]]:
+        """One epoch of GLOBAL sharded arrays (prefetched local decode)."""
+        for lows, highs in self._inner.epoch():
+            glow = jax.make_array_from_process_local_data(self.sharding, lows)
+            ghigh = jax.make_array_from_process_local_data(self.sharding, highs)
+            yield glow, ghigh

@@ -139,20 +139,62 @@ def composite_loss(
     return loss, aux
 
 
-def make_train_step(config: TrainConfig, optimizer: optax.GradientTransformation):
+def make_train_step(
+    config: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    *,
+    mesh=None,
+    axis: str = "data",
+):
     """Build the donated jitted train step.
 
     Signature: step(params, opt_state, low, high, gamma, vgg_params)
             -> (params, opt_state, loss, output_rgb)
+
+    With ``mesh`` given, forward+backward run under ``jax.shard_map`` over
+    the batch axis: each chip traces the loss on its local shard (so the
+    Mosaic kernels are SPMD-legal, see ops/pallas_gate.py) and gradients/
+    loss are ``pmean``-reduced over ICI; the Adam update then runs on the
+    replicated gradient.  Without a mesh the step is a plain single-device
+    jit — numerically identical (equal shard sizes make pmean == global
+    mean).
     """
 
-    def step(params, opt_state, low, high, gamma, vgg_params):
+    def grads_fn(params, low, high, gamma, vgg_params):
         (loss, aux), grads = jax.value_and_grad(composite_loss, has_aux=True)(
             params, low, high, gamma, vgg_params, config
         )
+        return loss, aux["output_rgb"], grads
+
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        def local_grads(params, low, high, gamma, vgg_params):
+            loss, out, grads = grads_fn(params, low, high, gamma, vgg_params)
+            return (
+                jax.lax.pmean(loss, axis),
+                out,
+                jax.lax.pmean(grads, axis),
+            )
+
+        grads_call = jax.shard_map(
+            local_grads,
+            mesh=mesh,
+            in_specs=(P(), P(axis), P(axis), P(), P()),
+            out_specs=(P(), P(axis), P()),
+            # pallas_call out_shapes carry no varying-mesh-axes metadata
+            # (the HVI kernels may trace here); pmean placement is asserted
+            # by the mesh tests instead of the vma checker
+            check_vma=False,
+        )
+    else:
+        grads_call = grads_fn
+
+    def step(params, opt_state, low, high, gamma, vgg_params):
+        loss, out, grads = grads_call(params, low, high, gamma, vgg_params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux["output_rgb"]
+        return params, opt_state, loss, out
 
     return jax.jit(step, donate_argnums=(0, 1))
 

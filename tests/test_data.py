@@ -125,3 +125,65 @@ def test_loss_weight_defaults_match_reference():
         1.0, 1.0, 0.5, 50.0, 0.01,
     )  # options.py:56-61
     assert (opt.start_gamma, opt.end_gamma) == (60, 120)  # options.py:65-66
+
+
+def test_multihost_loader_single_process_matches_plain(tmp_path):
+    """MultiHostTrainLoader with process_count=1 yields the same batches as
+    TrainLoader (same seed/stream) but as GLOBAL mesh-sharded jax.Arrays
+    (SURVEY.md §2.3 item 2)."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from hvi_cidnet_tpu.parallel.mesh import make_mesh
+    from hvi_cidnet_tpu.parallel.multihost import MultiHostTrainLoader
+
+    root = str(tmp_path / "mh")
+    _make_pair_tree(root, n=16)
+    ds = PairedFolderDataset(root + "/low", root + "/high", crop_size=16)
+    mesh = make_mesh(axis_names=("data",))
+
+    plain = TrainLoader(ds, batch_size=8, seed=3, num_threads=2)
+    multi = MultiHostTrainLoader(ds, 8, mesh=mesh, seed=3, num_threads=2)
+    for (l1, h1), (l2, h2) in zip(plain.epoch(), multi.epoch()):
+        assert l2.sharding.spec == P("data")
+        assert l2.shape == (8, 16, 16, 3)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        np.testing.assert_array_equal(np.asarray(h1), np.asarray(h2))
+    plain.close()
+    multi.close()
+
+
+def test_multihost_process_slices_partition_the_batch(tmp_path):
+    """Simulated 4-process decode: per-process slices are disjoint, cover the
+    global batch, and reproduce exactly the rows the single-process loader
+    would have produced (shared rng stream)."""
+    from hvi_cidnet_tpu.parallel.mesh import make_mesh
+    from hvi_cidnet_tpu.parallel.multihost import (
+        MultiHostTrainLoader,
+        process_local_slice,
+    )
+
+    slices = [process_local_slice(8, process_index=p, process_count=4) for p in range(4)]
+    covered = sorted(i for s in slices for i in range(8)[s])
+    assert covered == list(range(8))
+
+    root = str(tmp_path / "mh4")
+    _make_pair_tree(root, n=16)
+    ds = PairedFolderDataset(root + "/low", root + "/high", crop_size=16)
+    mesh = make_mesh(axis_names=("data",))
+
+    ref = TrainLoader(ds, batch_size=8, seed=7, num_threads=2)
+    ref_low, ref_high = next(iter(ref.epoch()))
+    ref.close()
+
+    parts_low = []
+    for p in range(4):
+        lo = MultiHostTrainLoader(
+            ds, 8, mesh=mesh, seed=7, num_threads=2,
+            process_index=p, process_count=4,
+        )
+        order = lo._inner._rng.permutation(len(ds))
+        low_p, _ = lo._make_local_batch(order[:8])
+        parts_low.append(low_p)
+        lo.close()
+    np.testing.assert_array_equal(np.concatenate(parts_low), np.asarray(ref_low))
