@@ -14,8 +14,6 @@ block documents its reference counterpart with file:line.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -30,6 +28,9 @@ from hvi_cidnet_tpu.ops.conv import (
     prelu,
 )
 from hvi_cidnet_tpu.ops.resize_pallas import double_bilinear, half_prelu
+# channel attention lives in ops/attention.py (XLA einsum path + per-batch
+# Pallas kernel behind a dispatching gate); re-exported for the model code
+from hvi_cidnet_tpu.ops.attention import channel_attention  # noqa: F401
 
 Params = dict
 
@@ -70,67 +71,6 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     if use_norm:
         x = layer_norm(p, prefix + ".norm", x)
     return x
-
-
-def channel_attention(
-    q: jnp.ndarray,
-    k: jnp.ndarray,
-    v: jnp.ndarray,
-    temperature: jnp.ndarray,
-    heads: int,
-    *,
-    normalize_qk: bool = True,
-    w_proj: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
-    """Transposed (channel-wise) attention core shared by CAB and TNSM.
-
-    q/k/v: HWCB feature maps.  Computes a CxC score matrix per batch by
-    contracting both spatial axes directly from the native layout (no
-    transposed copy of the feature map), masks it block-diagonal per head
-    before the fp32 softmax — for c <= 144 the extra cross-head FLOPs are
-    trivial next to the layout copies a per-head reshape costs (profiled:
-    27% of device time).
-
-    Head semantics match the reference's ``rearrange('b (head c) h w ->
-    b head c (h w)')`` (net/LCA.py:26-28): torch channel index
-    c = head * c_ph + i, preserved by our channel axis.  TNSM's variant
-    skips the L2 normalization (net/TNSM.py:98-104).
-    """
-    c = q.shape[2]
-    cp = c // heads
-
-    scores = jnp.einsum("hwcb,hwdb->bcd", q, k, preferred_element_type=jnp.float32)
-    if normalize_qk:
-        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12)
-        # applied to q and k.  Algebraically hoisted PAST the contraction:
-        # (q/|q|)·(k/|k|) == (q·k) / (|q||k|) — the raw scores are rescaled
-        # by per-(channel, batch) norms instead of rewriting the full q/k
-        # feature maps (saves two full HBM passes per attention site; the
-        # f32 score accumulation is unchanged, so this is exact up to f32
-        # rounding order).
-        def _inv_norm(t):  # (1/max(|t_cb|, 1e-12)) as (B, C)
-            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1))
-            return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
-
-        scores = scores * _inv_norm(q)[:, :, None] * _inv_norm(k)[:, None, :]
-    # row c belongs to head c // cp; the reference scales row-wise by that
-    # head's temperature (net/LCA.py:33)
-    temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
-    scores = scores * temp_per_c[None, :, None]
-    if heads > 1:
-        head_id = np.arange(c) // cp
-        block = jnp.asarray(head_id[:, None] == head_id[None, :])
-        scores = jnp.where(block[None], scores, -jnp.inf)
-    attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
-    if w_proj is not None:
-        # fold the downstream 1x1 projection into the tiny attention matrix:
-        # proj(attn @ v) == (proj^T attn) @ v — removes one full-size
-        # read+write of the attention output per site
-        attn = jnp.einsum("co,bcd->bod", w_proj[0, 0].astype(jnp.float32), attn)
-    # no preferred_element_type: the MXU accumulates fp32 internally and
-    # rounds once to the output dtype — requesting f32 out materializes an
-    # extra full-size cast pass per attention site
-    return jnp.einsum("bcd,hwdb->hwcb", attn.astype(v.dtype), v)
 
 
 def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:
