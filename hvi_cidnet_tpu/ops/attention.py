@@ -11,8 +11,18 @@ net/TNSM.py:98-114).  Two executions:
   fp32 softmax, the value contraction AND the folded output projection all
   happen in VMEM.  Needs batch-major (B, C, HW) operands, produced by
   XLA-side transposes in the wrapper (in-kernel 3-D transposes crash
-  Mosaic — docs/ROUND2_NOTES.md).  Probe: 9.76 ms vs 14.28 ms XLA at the
-  L1 bench geometry (experiments/attn_kernel_probe_r2.py).
+  Mosaic — docs/ROUND2_NOTES.md).
+
+MEASURED NEGATIVE at serving geometry (experiments/attn_land_r3.py,
+same-window v5e): end-to-end from HWCB the kernel+transposes LOSE to the
+XLA einsum at every level — L1 17.1 vs 11.3 ms, L2 9.4 vs 6.9, L3 6.6 vs
+5.9.  The kernel body itself is faster (round-2 probe: 9.76 vs 14.28 ms at
+L1 pre-transposed), but each HWCB->(B,C,HW) transpose costs ~7.6 ms in XLA
+and a Pallas transpose is unavailable: the direct 3-D transpose crashes
+Mosaic and even a decomposed minor-swap step hangs its compiler >13 min
+(experiments/transpose_kernel_r3.py).  Hence the dispatcher defaults OFF
+(``ATTN_USE_PALLAS=1`` opts in); the XLA einsum path — whose internal
+relayouts are cheaper than any user-level transpose — stays the default.
 
 Numerics match the XLA path: scores accumulate fp32 on the MXU, softmax is
 fp32, the value matmul rounds once to the activation dtype.  Backward runs
@@ -44,12 +54,14 @@ def use_attn_pallas(h: int, w: int, c: int, b: int, dtype) -> bool:
     """Kernel viable: TPU (or interpret), allowed in this trace, and the
     per-image (C, HW) blocks fit the VMEM budget with double-buffered IO.
     No batch-alignment constraint — the grid is per image."""
-    if os.environ.get("ATTN_USE_PALLAS", "1") != "1":
+    if os.environ.get("ATTN_USE_PALLAS", "0") != "1":
+        # default OFF: measured slower than the XLA einsum once the
+        # batch-major transposes are paid (module docstring)
         return False
     if not (pallas_allowed() and backend_ok()):
         return False
     itemsize = jnp.dtype(dtype).itemsize
-    sub = 32 // itemsize * 8  # min sublane tile: f32 8, bf16 16
+    sub = 8 * (4 // itemsize)  # min sublane tile: f32 8, bf16 16
     n = _round_up(h * w, 128)
     cp = _round_up(c, sub)
     # q, k, v, out blocks double-buffered + fp32 scores/attn + weight rows

@@ -32,6 +32,7 @@ def _qkv(c, heads, h=6, w=10, b=3, seed=0, dtype=jnp.float32):
 @pytest.mark.parametrize("normalize_qk", [True, False])
 def test_kernel_matches_xla(heads, normalize_qk, monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("ATTN_USE_PALLAS", "1")
     q, k, v, temp, w_proj = _qkv(16, heads, seed=heads)
     want = channel_attention_xla(
         q, k, v, temp, heads, normalize_qk=normalize_qk, w_proj=w_proj
@@ -42,6 +43,7 @@ def test_kernel_matches_xla(heads, normalize_qk, monkeypatch):
 
 def test_kernel_without_projection(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("ATTN_USE_PALLAS", "1")
     q, k, v, temp, _ = _qkv(8, 2, seed=11)
     want = channel_attention_xla(q, k, v, temp, 2, w_proj=None)
     got = _attention_pallas_impl(q, k, v, temp, None, 2, True)
@@ -50,6 +52,7 @@ def test_kernel_without_projection(monkeypatch):
 
 def test_dispatcher_uses_kernel_and_matches(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("ATTN_USE_PALLAS", "1")
     q, k, v, temp, w_proj = _qkv(16, 4, seed=3)
     assert use_attn_pallas(6, 10, 16, 3, q.dtype)
     got = channel_attention(q, k, v, temp, 4, w_proj=w_proj)
@@ -68,6 +71,7 @@ def test_gate_rejects_oversized_blocks():
 
 def test_gradients_route_through_xla_twin(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("ATTN_USE_PALLAS", "1")
     q, k, v, temp, w_proj = _qkv(8, 2, seed=5)
 
     def loss_pallas(q, k, v, temp, w_proj):
@@ -86,6 +90,7 @@ def test_gradients_route_through_xla_twin(monkeypatch):
 
 def test_bcn_kernel_bf16(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("ATTN_USE_PALLAS", "1")
     rng = np.random.default_rng(9)
     b, c, n = 2, 16, 128
     qb = jnp.asarray(rng.standard_normal((b, c, n)), jnp.bfloat16)
