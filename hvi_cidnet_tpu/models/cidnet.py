@@ -327,11 +327,13 @@ def _forward_impl(
 
     k = p["trans.density_k"]
     if _hvi_pallas.should_use_pallas():
-        hvi_nhwc = _hvi_pallas.rgb_to_hvi_pallas(x, k).astype(compute_dtype)
+        # fused kernel emits the HWCB internal layout directly (skips the
+        # (N,3)-lane packing transpose AND the NHWC boundary transpose)
+        hvi = _hvi_pallas.rgb_to_hvi_pallas_hwcb(x, k).astype(compute_dtype)
     else:
         hvi_nhwc = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
-    # switch to the NHCW internal layout (one cheap 3-channel transpose)
-    hvi = nhwc_to_internal(hvi_nhwc)
+        # switch to the HWCB internal layout (one cheap 3-channel transpose)
+        hvi = nhwc_to_internal(hvi_nhwc)
     i_img = hvi[:, :, 2:3, :]                      # :74 (C is axis 2 in HWCB)
 
     i_enc0 = conv3x3_replpad(i_img, p["IE_block0.1.weight"])  # :76
@@ -422,17 +424,18 @@ def _forward_impl(
         hv_1 = spatial_attention(p, "sa_hv1", hv_1)
     hv_0 = conv3x3_replpad(hv_1, p["HVD_block0.1.weight"])
 
-    output_hvi = internal_to_nhwc(jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi)  # :119
+    output_hvi_hwcb = jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi  # :119
     # PHVIT consumed the detached scalar this_k (HVI_transform.py:38,59):
     if _hvi_pallas.should_use_pallas():
-        output_rgb = _hvi_pallas.hvi_to_rgb_pallas(
-            output_hvi, jax.lax.stop_gradient(k),
+        # consumes HWCB directly (no boundary transpose), emits NHWC
+        output_rgb = _hvi_pallas.hvi_to_rgb_pallas_hwcb(
+            output_hvi_hwcb, jax.lax.stop_gradient(k),
             gated=gates.gated, gated2=gates.gated2,
             alpha=gates.alpha, alpha_s=gates.alpha_s,
         )
     else:
         output_rgb = hvi_to_rgb(
-            output_hvi,
+            internal_to_nhwc(output_hvi_hwcb),
             jax.lax.stop_gradient(k),
             gated=gates.gated,
             gated2=gates.gated2,

@@ -51,3 +51,47 @@ def test_kernel_never_selected_on_cpu(monkeypatch):
     assert should_use_pallas() is False
     monkeypatch.setenv("HVI_USE_PALLAS", "0")
     assert should_use_pallas() is False
+
+
+def test_hwcb_forward_matches_pure():
+    """HWCB-native wrapper: NHWC in, HWCB out, same values (round-3 #7)."""
+    from hvi_cidnet_tpu.ops.hvi_pallas import rgb_to_hvi_pallas_hwcb
+
+    img = _img(seed=5)
+    ref = jnp.transpose(rgb_to_hvi(img, jnp.asarray(0.2)), (1, 2, 3, 0))
+    got = rgb_to_hvi_pallas_hwcb(img, 0.2, interpret=True)
+    assert got.shape == ref.shape  # (H, W, 3, B)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "gates", [{}, {"gated": True, "alpha_s": 1.3}, {"gated2": True, "alpha": 0.84}]
+)
+def test_hwcb_inverse_matches_pure(gates):
+    from hvi_cidnet_tpu.ops.hvi_pallas import hvi_to_rgb_pallas_hwcb
+
+    img = _img(seed=6)
+    hvi = rgb_to_hvi(img, jnp.asarray(0.2))
+    hvi_hwcb = jnp.transpose(hvi, (1, 2, 3, 0))
+    ref = hvi_to_rgb(hvi, jnp.asarray(0.2), **gates)
+    got = hvi_to_rgb_pallas_hwcb(hvi_hwcb, 0.2, interpret=True, **gates)
+    assert got.shape == ref.shape  # NHWC
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-6)
+
+
+def test_hwcb_gradients_route_through_pure_vjp():
+    from hvi_cidnet_tpu.ops.hvi_pallas import rgb_to_hvi_pallas_hwcb
+
+    img = _img(shape=(1, 9, 11, 3), seed=7)
+    k = jnp.asarray(0.2)
+
+    def f_pallas(img, k):
+        return jnp.sum(rgb_to_hvi_pallas_hwcb(img, k, interpret=True) ** 2)
+
+    def f_pure(img, k):
+        return jnp.sum(jnp.transpose(rgb_to_hvi(img, k), (1, 2, 3, 0)) ** 2)
+
+    g1 = jax.grad(f_pallas, argnums=(0, 1))(img, k)
+    g2 = jax.grad(f_pure, argnums=(0, 1))(img, k)
+    np.testing.assert_allclose(np.asarray(g1[0]), np.asarray(g2[0]), atol=1e-5)
+    np.testing.assert_allclose(float(g1[1]), float(g2[1]), atol=1e-5)
