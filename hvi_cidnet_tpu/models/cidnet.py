@@ -43,7 +43,6 @@ from hvi_cidnet_tpu.models.layers import (
     hv_lca,
     i_lca,
     layer_norm,
-    layer_norm_channels,
     norm_downsample,
     norm_upsample,
     spatial_attention,

@@ -24,9 +24,9 @@ from hvi_cidnet_tpu.ops.conv import (
     conv2d,
     conv3x3_same,
     dwconv3x3,
-    layer_norm_channels,
     prelu,
 )
+from hvi_cidnet_tpu.ops.norm_pallas import layer_norm_channels_fused
 from hvi_cidnet_tpu.ops.resize_pallas import double_bilinear, half_prelu
 # channel attention lives in ops/attention.py (XLA einsum path + per-batch
 # Pallas kernel behind a dispatching gate); re-exported for the model code
@@ -36,8 +36,12 @@ Params = dict
 
 
 def layer_norm(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
-    """LayerNorm, channels_first semantics (net/transformer_utils.py:5-29)."""
-    return layer_norm_channels(x, p[prefix + ".weight"], p[prefix + ".bias"])
+    """LayerNorm, channels_first semantics (net/transformer_utils.py:5-29).
+
+    Serving batches take the fused Pallas kernel (stats + apply in one HBM
+    read + write, ops/norm_pallas.py); other shapes the XLA fused-stats
+    path."""
+    return layer_norm_channels_fused(x, p[prefix + ".weight"], p[prefix + ".bias"])
 
 
 def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = False) -> jnp.ndarray:
