@@ -26,6 +26,7 @@ from hvi_cidnet_tpu.ops.conv import (
     dwconv3x3,
     prelu,
 )
+from hvi_cidnet_tpu.ops.iel_pallas import iel_branch
 from hvi_cidnet_tpu.ops.norm_pallas import layer_norm_channels_fused
 from hvi_cidnet_tpu.ops.resize_pallas import double_bilinear, half_prelu
 # channel attention lives in ops/attention.py (XLA einsum path + per-batch
@@ -107,10 +108,15 @@ def iel(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     w_pi = p[prefix + ".project_in.weight"]
     w_dw = p[prefix + ".dwconv.weight"]
     hidden = w_pi.shape[-1] // 2
-    x1 = dwconv3x3(conv1x1(x, w_pi[..., :hidden]), w_dw[..., :hidden])
-    x2 = dwconv3x3(conv1x1(x, w_pi[..., hidden:]), w_dw[..., hidden:])
-    x1 = jnp.tanh(dwconv3x3(x1, p[prefix + ".dwconv1.weight"])) + x1
-    x2 = jnp.tanh(dwconv3x3(x2, p[prefix + ".dwconv2.weight"])) + x2
+    # Each gate branch is tanh(dw2(dw1(y))) + dw1(y): the fused Pallas
+    # kernel (ops/iel_pallas.py) runs it in one HBM read+write at serving
+    # shapes; its dispatcher falls back to the XLA twin elsewhere.
+    x1 = iel_branch(
+        conv1x1(x, w_pi[..., :hidden]), w_dw[..., :hidden], p[prefix + ".dwconv1.weight"]
+    )
+    x2 = iel_branch(
+        conv1x1(x, w_pi[..., hidden:]), w_dw[..., hidden:], p[prefix + ".dwconv2.weight"]
+    )
     return conv1x1(x1 * x2, p[prefix + ".project_out.weight"])
 
 

@@ -36,9 +36,11 @@ def use_ln_pallas(b: int) -> bool:
     return pallas_allowed() and backend_ok() and b % 128 == 0
 
 
-def _pick_th(h: int, bytes_per_row: float, budget=48 * 1024 * 1024) -> int:
+def _pick_th(h: int, bytes_per_row: float, budget=88 * 1024 * 1024) -> int:
+    """Largest th whose in+out windows (double-buffered: 4x th rows) plus
+    fp32 stats temporaries fit the VMEM budget."""
     for th in (32, 16, 8, 4, 2, 1):
-        if h % th == 0 and th * bytes_per_row <= budget:
+        if h % th == 0 and 4.6 * th * bytes_per_row <= budget:
             return th
     return 1
 
@@ -77,7 +79,7 @@ def layer_norm_pallas(
     """(H, W, C, B) channel LN, one read + one write."""
     h, w, c, b = x.shape
     itemsize = jnp.dtype(x.dtype).itemsize
-    th = _pick_th(h, 2.2 * w * c * b * itemsize)
+    th = _pick_th(h, float(w * c * b * itemsize))
     kern = functools.partial(_ln_kernel, eps=eps)
     wspec = pl.BlockSpec((1, 1, c, 1), lambda t: (0, 0, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
