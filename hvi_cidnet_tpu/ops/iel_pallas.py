@@ -33,8 +33,17 @@ from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_a
 
 
 def use_iel_pallas(b: int) -> bool:
-    """Serving-shape gate (same contract as the resize/LN kernels)."""
-    if os.environ.get("IEL_USE_PALLAS", "1") != "1":
+    """Opt-in (``IEL_USE_PALLAS=1``): MEASURED NET NEGATIVE at serving.
+
+    Same-window TPU A/B (experiments/iel_bench_r3.py, 600x400 batch 128
+    bf16): kernel 40.4 / 22.5 / 14.7 ms vs XLA 14.6 / 10.4 / 5.9 ms at
+    L1/L2/L3; end-to-end bench 147.6 vs 229.9 img/s.  The fusion halves
+    HBM traffic (5 passes -> 2+halo) but Mosaic's vector codegen spends
+    ~18 tap-loads + 18 bf16->f32 converts + 18 FMAs per element, an
+    issue-slot floor (~7.6 ms at L1) already close to XLA's memory-bound
+    5-pass schedule — and realized codegen lands 5x above that floor.
+    Kept as an exact, tested seam in case Mosaic codegen improves."""
+    if os.environ.get("IEL_USE_PALLAS", "0") != "1":
         return False
     return pallas_allowed() and backend_ok() and b % 128 == 0
 

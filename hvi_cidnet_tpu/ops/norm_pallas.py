@@ -29,9 +29,15 @@ from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_a
 
 
 def use_ln_pallas(b: int) -> bool:
-    """Same contract as the resize kernels: TPU (or forced interpret),
-    allowed in this trace, lane-aligned batch."""
-    if os.environ.get("LN_USE_PALLAS", "1") != "1":
+    """Opt-in (``LN_USE_PALLAS=1``): MEASURED NET NEGATIVE at serving.
+
+    Same-window TPU A/B (bench.py, 600x400 batch 128 bf16): 229.9 img/s
+    with the kernel vs 242.2 without (repeat arm 230.0 — not drift).  The
+    one-pass fusion saves HBM passes but the cross-sublane C reductions +
+    per-element converts hit the same Mosaic issue-slot wall as the IEL
+    kernel (ops/iel_pallas.py): XLA's reduce emitters are faster than the
+    traffic saved.  Kept as an exact, tested seam behind the flag."""
+    if os.environ.get("LN_USE_PALLAS", "0") != "1":
         return False
     return pallas_allowed() and backend_ok() and b % 128 == 0
 

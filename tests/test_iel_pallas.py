@@ -58,6 +58,7 @@ def test_gate_and_dispatch(monkeypatch):
     assert not use_iel_pallas(8)
     assert not use_iel_pallas(128)  # cpu without force
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("IEL_USE_PALLAS", "1")  # kernel is opt-in (measured net negative at serving)
     assert use_iel_pallas(128)
     y, w1, w2 = _data(h=4, w=6, c=8, b=128, seed=5)
     got = iel_branch(y, w1, w2)
@@ -74,6 +75,7 @@ def test_gate_and_dispatch(monkeypatch):
 
 def test_gradients_route_through_xla_twin(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("IEL_USE_PALLAS", "1")  # kernel is opt-in (measured net negative at serving)
     y, w1, w2 = _data(h=4, w=4, c=8, b=128, seed=9)
 
     def f_fused(y, w1, w2):

@@ -47,6 +47,7 @@ def test_gate_and_dispatch(monkeypatch):
     assert not use_ln_pallas(8)  # not lane-aligned
     assert not use_ln_pallas(128)  # CPU backend, no force
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("LN_USE_PALLAS", "1")  # kernel is opt-in (measured net negative at serving)
     assert use_ln_pallas(128)
     got = layer_norm_channels_fused(x, wgt, bias)
     want = layer_norm_channels(x, wgt, bias)
@@ -55,6 +56,7 @@ def test_gate_and_dispatch(monkeypatch):
 
 def test_gradients_route_through_xla_twin(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    monkeypatch.setenv("LN_USE_PALLAS", "1")  # kernel is opt-in (measured net negative at serving)
     x, wgt, bias = _data(b=128, h=4, w=4, c=8, seed=3)
 
     def f_fused(x, w, b):
