@@ -293,8 +293,18 @@ def cidnet_forward(
     compute_dtype=jnp.float32,
     training: bool = False,
     use_pallas: bool = True,
+    input_layout: str = "nhwc",
 ):
-    """Forward pass for any variant.  x: (B,H,W,3) RGB in [0,1], H,W % 8 == 0.
+    """Forward pass for any variant.  x: RGB in [0,1], H,W % 8 == 0.
+
+    ``input_layout="nhwc"`` (default): x is (B,H,W,3) and the output is
+    NHWC — the reference-compatible API.  ``input_layout="hwcb"``: x is
+    (H,W,3,B) — the serving contract, where the host input pipeline packs
+    batches directly into the model's internal layout (a free numpy
+    transpose producer-side) so the device program contains NO boundary
+    relayouts: the round-3 profile attributed ~40 ms/fwd at the bench
+    shape to NHWC packing transposes alone.  Output is then HWCB too
+    (and the TNSM noise map, when returned, stays HWCB).
 
     Returns RGB for base/mssa; ``(rgb, fused_noise|None)`` for tnsm
     (net/CIDNet_TNSM.py:248-294 returns noise only in training mode).
@@ -303,9 +313,12 @@ def cidnet_forward(
     required when the program will be GSPMD-partitioned over a mesh
     (parallel/inference.py:spatial_enhance_fn; ops/pallas_gate.py).
     """
+    if input_layout not in ("nhwc", "hwcb"):
+        raise ValueError(f"input_layout must be 'nhwc' or 'hwcb', got {input_layout!r}")
     with _pallas_gate.allow_pallas(use_pallas):
         return _forward_impl(
-            p, x, config, gates, compute_dtype=compute_dtype, training=training
+            p, x, config, gates, compute_dtype=compute_dtype, training=training,
+            hwcb_io=input_layout == "hwcb",
         )
 
 
@@ -317,6 +330,7 @@ def _forward_impl(
     *,
     compute_dtype,
     training: bool,
+    hwcb_io: bool = False,
 ):
     nrm = config.norm
     _, h2, h3, h4 = config.heads
@@ -325,7 +339,11 @@ def _forward_impl(
     noise_maps = []
 
     k = p["trans.density_k"]
-    if _hvi_pallas.should_use_pallas():
+    if hwcb_io:
+        # x already (H,W,3,B): the transform runs in the internal layout
+        # with batch in lanes — no packing, no Pallas, no transposes
+        hvi = rgb_to_hvi(x, k, channel_axis=2).astype(compute_dtype)
+    elif _hvi_pallas.should_use_pallas():
         # fused kernel emits the HWCB internal layout directly (skips the
         # (N,3)-lane packing transpose AND the NHWC boundary transpose)
         hvi = _hvi_pallas.rgb_to_hvi_pallas_hwcb(x, k).astype(compute_dtype)
@@ -425,7 +443,17 @@ def _forward_impl(
 
     output_hvi_hwcb = jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi  # :119
     # PHVIT consumed the detached scalar this_k (HVI_transform.py:38,59):
-    if _hvi_pallas.should_use_pallas():
+    if hwcb_io:
+        output_rgb = hvi_to_rgb(
+            output_hvi_hwcb,
+            jax.lax.stop_gradient(k),
+            gated=gates.gated,
+            gated2=gates.gated2,
+            alpha=gates.alpha,
+            alpha_s=gates.alpha_s,
+            channel_axis=2,
+        )
+    elif _hvi_pallas.should_use_pallas():
         # consumes HWCB directly (no boundary transpose), emits NHWC
         output_rgb = _hvi_pallas.hvi_to_rgb_pallas_hwcb(
             output_hvi_hwcb, jax.lax.stop_gradient(k),
@@ -446,11 +474,15 @@ def _forward_impl(
         if use_tnsm and training:
             # Resize the 12 per-level maps to output res, fuse 12->3 + sigmoid
             # (CIDNet_TNSM.py:248-267; align_corners=False interpolation :258).
-            th, tw = output_rgb.shape[1], output_rgb.shape[2]
+            th, tw = (
+                (output_rgb.shape[0], output_rgb.shape[1])
+                if hwcb_io
+                else (output_rgb.shape[1], output_rgb.shape[2])
+            )
             resized = [resize_bilinear_hwcb(nm, th, tw, align_corners=False) for nm in noise_maps]
             stacked = jnp.concatenate(resized, axis=CH_AXIS)
             fused = jax.nn.sigmoid(conv2d(stacked, p["noise_fusion.0.weight"], padding="SAME"))
-            return output_rgb, internal_to_nhwc(fused)
+            return output_rgb, (fused if hwcb_io else internal_to_nhwc(fused))
         return output_rgb, None
     return output_rgb
 

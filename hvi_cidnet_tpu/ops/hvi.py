@@ -43,18 +43,24 @@ def color_sensitive(intensity: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     return jnp.power(jnp.sin(intensity * (0.5 * PI)) + _EPS, k)
 
 
-def rgb_to_hvi(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
-    """RGB -> HVI. ``img``: (..., H, W, 3) in [0, 1]; ``k``: scalar (density_k).
+def rgb_to_hvi(img: jnp.ndarray, k: jnp.ndarray, *, channel_axis: int = -1) -> jnp.ndarray:
+    """RGB -> HVI. ``img``: [0, 1] RGB with 3 channels on ``channel_axis``
+    (default NHWC; the serving path passes the HWCB internal layout with
+    ``channel_axis=2`` so the transform runs with batch in lanes and no
+    boundary transposes).  ``k``: scalar (density_k).
 
-    Returns (..., H, W, 3) with channels (H, V, I).
+    Returns the same layout with channels (H, V, I).
     Reference: RGB_HVI.HVIT, HVI_transform.py:16-47.
     """
     dtype_in = img.dtype
+    ax = channel_axis % img.ndim
     x = img.astype(jnp.float32)
-    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    r = jax.lax.index_in_dim(x, 0, ax, keepdims=False)
+    g = jax.lax.index_in_dim(x, 1, ax, keepdims=False)
+    b = jax.lax.index_in_dim(x, 2, ax, keepdims=False)
 
-    value = jnp.max(x, axis=-1)     # HVI_transform.py:21
-    img_min = jnp.min(x, axis=-1)   # :22
+    value = jnp.max(x, axis=ax)     # HVI_transform.py:21
+    img_min = jnp.min(x, axis=ax)   # :22
     denom = value - img_min + _EPS
 
     # Sequential boolean-mask writes (:23-27): B-max first, then G-max, then
@@ -75,7 +81,7 @@ def rgb_to_hvi(img: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     cv = jnp.sin(2.0 * PI * hue)               # :42
     h_out = cs * saturation * ch               # :43
     v_out = cs * saturation * cv               # :44
-    return jnp.stack([h_out, v_out, value], axis=-1).astype(dtype_in)
+    return jnp.stack([h_out, v_out, value], axis=ax).astype(dtype_in)
 
 
 def hvi_to_rgb(
@@ -86,18 +92,21 @@ def hvi_to_rgb(
     gated2: bool = False,
     alpha: float = 1.0,
     alpha_s: float = 1.3,
+    channel_axis: int = -1,
 ) -> jnp.ndarray:
-    """HVI -> RGB. ``hvi``: (..., H, W, 3) channels (H, V, I).
+    """HVI -> RGB. ``hvi``: channels (H, V, I) on ``channel_axis`` (default
+    NHWC; ``channel_axis=2`` for the HWCB serving layout).
 
     ``k`` should already be gradient-detached by the caller when matching the
     reference (PHVIT consumed ``self.this_k``, a python float).
     Reference: RGB_HVI.PHVIT, HVI_transform.py:49-122.
     """
     dtype_in = hvi.dtype
+    ax = channel_axis % hvi.ndim
     x = hvi.astype(jnp.float32)
-    h_c = jnp.clip(x[..., 0], -1.0, 1.0)   # :54
-    v_c = jnp.clip(x[..., 1], -1.0, 1.0)   # :55
-    i_c = jnp.clip(x[..., 2], 0.0, 1.0)    # :56
+    h_c = jnp.clip(jax.lax.index_in_dim(x, 0, ax, keepdims=False), -1.0, 1.0)   # :54
+    v_c = jnp.clip(jax.lax.index_in_dim(x, 1, ax, keepdims=False), -1.0, 1.0)   # :55
+    i_c = jnp.clip(jax.lax.index_in_dim(x, 2, ax, keepdims=False), 0.0, 1.0)    # :56
 
     k32 = jnp.asarray(k, jnp.float32).reshape(())
     cs = color_sensitive(i_c, k32)          # :60
@@ -134,7 +143,7 @@ def hvi_to_rgb(
         g = jnp.where(m, gg, g)
         b = jnp.where(m, bb, b)
 
-    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = jnp.stack([r, g, b], axis=ax)
     if gated2:
         rgb = rgb * alpha  # :120-121
     return rgb.astype(dtype_in)
