@@ -89,7 +89,10 @@ def pallas_im2col_dots(a: jnp.ndarray, wmat: jnp.ndarray, tile_n: int) -> jnp.nd
 
 def main() -> None:
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(-1, 1, (H, W, C, B)), jnp.bfloat16)
+    # big operands are generated ON DEVICE: host float64 generation plus the
+    # 2.2 GB tunnel transfer took >9 min on the 1-core driver box
+    key = jax.random.PRNGKey(0)
+    x = jax.jit(lambda k: jax.random.uniform(k, (H, W, C, B), jnp.bfloat16, -1, 1))(key)
     wt = jnp.asarray(rng.uniform(-0.1, 0.1, (3, 3, C, COUT)), jnp.bfloat16)
 
     dt = timed(conv3x3_same, x, wt)
@@ -98,7 +101,9 @@ def main() -> None:
     # best-case staged im2col operand: (K, HW-cols * B) — we only charge
     # the dots.  Use a W-row slab (B*W cols per H row) as the N extent.
     n_cols = W * B  # one H row's worth of output columns
-    a = jnp.asarray(rng.uniform(-1, 1, (K, n_cols)), jnp.bfloat16)
+    a = jax.jit(lambda k: jax.random.uniform(k, (K, n_cols), jnp.bfloat16, -1, 1))(
+        jax.random.PRNGKey(1)
+    )
     wmat = jnp.asarray(rng.uniform(-0.1, 0.1, (COUT, K)), jnp.bfloat16)
     for tile_n in (512, 1024, 2048):
         dt_row = timed(functools.partial(pallas_im2col_dots, tile_n=tile_n), a, wmat)
