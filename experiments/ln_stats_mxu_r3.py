@@ -59,12 +59,13 @@ def timed(fn, *args, iters=16):
 
 
 def ones_conv(x: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Channel mean via the conv emitter: C->1 ones/n kernel, fp32 accum."""
-    w = jnp.full((1, 1, c, 1), 1.0 / c, x.dtype)
+    """Channel mean via the conv emitter: C->1 ones kernel (exact in bf16),
+    fp32 accumulation, divide by n in fp32 (1/36 is NOT bf16-exact)."""
+    w = jnp.ones((1, 1, c, 1), x.dtype)
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "VALID", dimension_numbers=_DN,
         preferred_element_type=f32,
-    )
+    ) / c
 
 
 def ln_apply(x, u, m2, w, b, eps=1e-6):

@@ -18,6 +18,8 @@ layout-independent.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -134,6 +136,13 @@ def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(x, 0) + a * jnp.minimum(x, 0)
 
 
+def _ln_stats_conv() -> bool:
+    """Opt-in (``LN_STATS_CONV=1``): bf16 LN statistics via C->1 ones-convs
+    on the MXU instead of the VPU reduce fusions.  Pending a same-window TPU
+    A/B (experiments/ln_stats_mxu_r3.py); parity is CI-tested either way."""
+    return os.environ.get("LN_STATS_CONV", "0") == "1"
+
+
 def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Channel LayerNorm over the HWCB channel axis.
 
@@ -156,8 +165,23 @@ def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, 
         return w * y + b
     dt = x.dtype
     n = x.shape[CH_AXIS]
-    u = jnp.sum(x, axis=CH_AXIS, keepdims=True, dtype=jnp.float32) / n
-    m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=CH_AXIS, keepdims=True) / n
+    if _ln_stats_conv():
+        # Stats on the conv emitter (round 3): the profile's LN pool is two
+        # VPU cross-sublane reduce fusions sustaining ~40 GB/s, while 1x1
+        # convs over the same tensors run near the HBM roofline.  A C->1
+        # ones/n kernel computes the identical fp32-accumulated channel
+        # moments on the MXU (experiments/ln_stats_mxu_r3.py measures the
+        # arms; numerics equal to the reduce path up to summation order).
+        k = jnp.ones((1, 1, n, 1), dt)  # exact in bf16; divide in fp32 below
+        u = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "VALID", dimension_numbers=_DN,
+            preferred_element_type=jnp.float32) / n
+        m2 = jax.lax.conv_general_dilated(
+            jnp.square(x.astype(jnp.float32)), k.astype(jnp.float32),
+            (1, 1), "VALID", dimension_numbers=_DN) / n
+    else:
+        u = jnp.sum(x, axis=CH_AXIS, keepdims=True, dtype=jnp.float32) / n
+        m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=CH_AXIS, keepdims=True) / n
     s = jnp.maximum(m2 - u * u, 0.0)
     scale = jax.lax.rsqrt(s + eps).astype(dt)
     shift = u.astype(dt)

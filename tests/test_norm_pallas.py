@@ -54,6 +54,24 @@ def test_gate_and_dispatch(monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6)
 
 
+@pytest.mark.parametrize("c", [36, 144])
+def test_conv_stats_seam_matches_reduce_stats(monkeypatch, c):
+    """LN_STATS_CONV=1 computes bf16 LN stats via C->1 ones-convs on the
+    conv emitter; fp32 accumulation makes it equal to the reduce path up
+    to summation order (well inside bf16 output ULP)."""
+    x, wgt, bias = _data(c=c, dtype=jnp.bfloat16, seed=c + 1)
+    want = layer_norm_channels(x, wgt, bias)
+    monkeypatch.setenv("LN_STATS_CONV", "1")
+    got = layer_norm_channels(x, wgt, bias)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=2e-2)
+    # fp32 inputs keep the exact two-pass form regardless of the seam
+    xf, wf, bf = _data(c=c, dtype=jnp.float32, seed=c + 2)
+    np.testing.assert_array_equal(
+        np.asarray(layer_norm_channels(xf, wf, bf)),
+        np.asarray(layer_norm_channels(xf, wf, bf)))
+
+
 def test_gradients_route_through_xla_twin(monkeypatch):
     monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
     monkeypatch.setenv("LN_USE_PALLAS", "1")  # kernel is opt-in (measured net negative at serving)
