@@ -73,6 +73,37 @@ def export_pth(path: str, params: Dict[str, jnp.ndarray]) -> str:
     return path
 
 
+def save_pretrained(directory: str, params: Dict[str, jnp.ndarray], config=None) -> str:
+    """HF-layout export: ``model.safetensors`` + ``config.json``.
+
+    The reference gets this surface from ``PyTorchModelHubMixin``
+    (net/CIDNet.py:6-8) — ``save_pretrained`` writes the state dict as
+    safetensors next to a ``config.json`` holding the constructor kwargs.
+    This is the exact inverse of our hub-load path (``cli/eval_hf.py`` +
+    ``utils/hf_config.config_from_hf_json``): tensors go out in torch
+    names/layouts so either stack can re-load the folder.
+    """
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(directory, exist_ok=True)
+    # to_torch_state_dict returns transposed views; safetensors serializes
+    # the raw buffer, so contiguity is part of correctness here.
+    state = {k: np.ascontiguousarray(v) for k, v in to_torch_state_dict(params).items()}
+    save_file(state, os.path.join(directory, "model.safetensors"))
+    cfg = {}
+    if config is not None:
+        cfg = {
+            "channels": list(config.channels),
+            "heads": list(config.heads),
+            "norm": bool(config.norm),
+        }
+    with open(os.path.join(directory, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2)
+    return directory
+
+
 def latest_epoch(weights_dir: str) -> int:
     """Find the newest ``epoch_N.npz`` for resume (train.py:160-162 analog)."""
     best = 0

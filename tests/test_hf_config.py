@@ -46,6 +46,23 @@ def test_non_default_config_shapes_model(tmp_path):
     assert kept < len(state) // 2
 
 
+def test_save_pretrained_roundtrip(tmp_path):
+    """save_pretrained is the inverse of the hub-load path (mixin analog)."""
+    from hvi_cidnet_tpu.compat.torch_ckpt import load_safetensors
+    from hvi_cidnet_tpu.train.checkpoint import save_pretrained
+
+    cfg = CIDNetConfig(variant="base", channels=(24, 24, 48, 96))
+    params = init_cidnet(jax.random.PRNGKey(2), cfg)
+    out = save_pretrained(str(tmp_path / "hub"), params, cfg)
+
+    cfg2 = config_from_hf_json(out + "/config.json")
+    assert cfg2.channels == cfg.channels and cfg2.heads == cfg.heads
+    loaded = load_safetensors(out + "/model.safetensors")
+    assert set(loaded) == set(params)
+    for k in params:
+        np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(params[k]))
+
+
 def test_unknown_keys_ignored_and_bad_values_raise(tmp_path):
     f = tmp_path / "config.json"
     f.write_text(json.dumps({"channels": [36, 36, 72, 144], "architectures": ["CIDNet"]}))
