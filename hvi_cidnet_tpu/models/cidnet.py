@@ -315,6 +315,15 @@ def cidnet_forward(
     """
     if input_layout not in ("nhwc", "hwcb"):
         raise ValueError(f"input_layout must be 'nhwc' or 'hwcb', got {input_layout!r}")
+    h, w = (x.shape[1], x.shape[2]) if input_layout == "nhwc" else (x.shape[0], x.shape[1])
+    if h % 8 or w % 8:
+        # Three bilinear x0.5 levels need x8-divisible extents; without this
+        # check the failure is a cryptic concat-shape error mid-UNet.  Pad
+        # like the reference does (reflect, crop after — data/eval_sets.py:23-29).
+        raise ValueError(
+            f"H and W must be multiples of 8 (got {h}x{w}); reflect-pad the "
+            "input and crop the output, as cli/demo.py and the evaluator do"
+        )
     with _pallas_gate.allow_pallas(use_pallas):
         return _forward_impl(
             p, x, config, gates, compute_dtype=compute_dtype, training=training,

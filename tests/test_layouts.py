@@ -74,3 +74,14 @@ def test_forward_rejects_unknown_layout():
     params = init_cidnet(jax.random.PRNGKey(0), TINY)
     with pytest.raises(ValueError, match="input_layout"):
         cidnet_forward(params, _x(), TINY, input_layout="nchw")
+
+
+def test_forward_rejects_non_x8_extent():
+    """Non-x8 H/W fails loudly at entry, not as a concat error mid-UNet."""
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    bad = jnp.zeros((1, 20, 24, 3), jnp.float32)  # H=20 not x8
+    with pytest.raises(ValueError, match="multiples of 8"):
+        cidnet_forward(params, bad, TINY)
+    bad_hwcb = jnp.zeros((24, 20, 3, 1), jnp.float32)  # W=20 not x8
+    with pytest.raises(ValueError, match="multiples of 8"):
+        cidnet_forward(params, bad_hwcb, TINY, input_layout="hwcb")
