@@ -32,7 +32,6 @@ the XLA twin's VJP (custom_vjp), so autodiff is exact and partitionable.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import numpy as np
@@ -41,7 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, kernel_flag, pallas_allowed
 
 _VMEM_BUDGET = 96 * 1024 * 1024
 
@@ -54,7 +53,7 @@ def use_attn_pallas(h: int, w: int, c: int, b: int, dtype) -> bool:
     """Kernel viable: TPU (or interpret), allowed in this trace, and the
     per-image (C, HW) blocks fit the VMEM budget with double-buffered IO.
     No batch-alignment constraint — the grid is per image."""
-    if os.environ.get("ATTN_USE_PALLAS", "0") != "1":
+    if not kernel_flag("attn_pallas"):
         # default OFF: measured slower than the XLA einsum once the
         # batch-major transposes are paid (module docstring)
         return False

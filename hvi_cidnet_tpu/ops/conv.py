@@ -18,7 +18,6 @@ layout-independent.
 
 from __future__ import annotations
 
-import os
 
 import jax
 import jax.numpy as jnp
@@ -137,10 +136,13 @@ def prelu(x: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
 
 
 def _ln_stats_conv() -> bool:
-    """Opt-in (``LN_STATS_CONV=1``): bf16 LN statistics via C->1 ones-convs
-    on the MXU instead of the VPU reduce fusions.  Pending a same-window TPU
-    A/B (experiments/ln_stats_mxu_r3.py); parity is CI-tested either way."""
-    return os.environ.get("LN_STATS_CONV", "0") == "1"
+    """Opt-in (``LN_STATS_CONV=1`` / ``kernel_flags(ln_stats_conv=True)``):
+    bf16 LN statistics via C->1 ones-convs on the MXU instead of the VPU
+    reduce fusions.  Pending a same-window TPU A/B
+    (experiments/ln_stats_mxu_r3.py); parity is CI-tested either way."""
+    from hvi_cidnet_tpu.ops.pallas_gate import kernel_flag
+
+    return kernel_flag("ln_stats_conv")
 
 
 def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:

@@ -23,7 +23,6 @@ Tests exercise the kernel in interpreter mode on CPU.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import numpy as np
@@ -33,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hvi_cidnet_tpu.ops import hvi as _ref
-from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, kernel_flag, pallas_allowed
 
 PI = _ref.PI
 _EPS = 1e-8
@@ -45,7 +44,7 @@ def should_use_pallas() -> bool:
     """Default-on for TPU backends (or forced interpret mode);
     HVI_USE_PALLAS=0 opts out.  SPMD safety is structural — see
     ops/pallas_gate.py."""
-    if os.environ.get("HVI_USE_PALLAS", "1") == "0":
+    if not kernel_flag("hvi_pallas"):
         return False
     return pallas_allowed() and backend_ok()
 

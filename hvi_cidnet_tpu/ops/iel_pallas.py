@@ -21,7 +21,6 @@ Backward: custom_vjp via the XLA twin.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Tuple
 
 import jax
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, kernel_flag, pallas_allowed
 
 
 def use_iel_pallas(b: int) -> bool:
@@ -43,7 +42,7 @@ def use_iel_pallas(b: int) -> bool:
     issue-slot floor (~7.6 ms at L1) already close to XLA's memory-bound
     5-pass schedule — and realized codegen lands 5x above that floor.
     Kept as an exact, tested seam in case Mosaic codegen improves."""
-    if os.environ.get("IEL_USE_PALLAS", "0") != "1":
+    if not kernel_flag("iel_pallas"):
         return False
     return pallas_allowed() and backend_ok() and b % 128 == 0
 

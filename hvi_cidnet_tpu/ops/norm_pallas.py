@@ -18,14 +18,13 @@ Backward: custom_vjp via the XLA twin.
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, kernel_flag, pallas_allowed
 
 
 def use_ln_pallas(b: int) -> bool:
@@ -37,7 +36,7 @@ def use_ln_pallas(b: int) -> bool:
     per-element converts hit the same Mosaic issue-slot wall as the IEL
     kernel (ops/iel_pallas.py): XLA's reduce emitters are faster than the
     traffic saved.  Kept as an exact, tested seam behind the flag."""
-    if os.environ.get("LN_USE_PALLAS", "0") != "1":
+    if not kernel_flag("ln_pallas"):
         return False
     return pallas_allowed() and backend_ok() and b % 128 == 0
 

@@ -48,6 +48,68 @@ def force_interpret() -> bool:
     return os.environ.get("PALLAS_FORCE_INTERPRET", "0") == "1"
 
 
+# ---------------------------------------------------------------------------
+# Kernel-implementation seams (explicit API; env vars are process defaults)
+# ---------------------------------------------------------------------------
+# Every seam selects between PARITY-TESTED exact implementations (CI runs
+# both arms); defaults encode the measured verdicts in docs/ROUND3_NOTES.md.
+# The default-off seams lost their serving A/Bs to XLA's emitters and are
+# kept in case Mosaic codegen improves.
+#
+#   flag            env default       measured verdict (v5e serving)
+#   hvi_pallas      HVI_USE_PALLAS=1  fused fp32-island transform: on
+#   resize_pallas   RESIZE_USE_PALLAS=1  156 -> 242 img/s: on
+#   attn_pallas     ATTN_USE_PALLAS=0 needs worse transposes than XLA einsum
+#   ln_pallas       LN_USE_PALLAS=0   230 vs 242 img/s end-to-end
+#   iel_pallas      IEL_USE_PALLAS=0  148 vs 230 img/s end-to-end
+#   ln_stats_conv   LN_STATS_CONV=0   LN moments via C->1 ones-convs (MXU)
+#
+# Caveat: flags are read at TRACE time — flipping one does not invalidate
+# already-compiled jit caches.  Set flags before the first trace (or clear
+# the function's cache) exactly as with the env vars.
+_FLAG_DEFAULTS = {
+    "hvi_pallas": ("HVI_USE_PALLAS", True),
+    "resize_pallas": ("RESIZE_USE_PALLAS", True),
+    "attn_pallas": ("ATTN_USE_PALLAS", False),
+    "ln_pallas": ("LN_USE_PALLAS", False),
+    "iel_pallas": ("IEL_USE_PALLAS", False),
+    "ln_stats_conv": ("LN_STATS_CONV", False),
+}
+_flag_overrides: dict = {}
+
+
+def kernel_flag(name: str) -> bool:
+    """Resolve a seam: explicit override > env var > measured default."""
+    env, default = _FLAG_DEFAULTS[name]  # KeyError = unknown seam, on purpose
+    if name in _flag_overrides:
+        return _flag_overrides[name]
+    raw = os.environ.get(env)
+    return default if raw is None else raw == "1"
+
+
+def set_kernel_flag(name: str, value) -> None:
+    """Set (True/False) or clear (None) an explicit seam override."""
+    if name not in _FLAG_DEFAULTS:
+        raise KeyError(f"unknown kernel flag {name!r}; known: {sorted(_FLAG_DEFAULTS)}")
+    if value is None:
+        _flag_overrides.pop(name, None)
+    else:
+        _flag_overrides[name] = bool(value)
+
+
+@contextlib.contextmanager
+def kernel_flags(**flags):
+    """Scoped overrides for A/Bs and tests: ``with kernel_flags(ln_stats_conv=True): ...``"""
+    saved = dict(_flag_overrides)
+    try:
+        for k, v in flags.items():
+            set_kernel_flag(k, v)
+        yield
+    finally:
+        _flag_overrides.clear()
+        _flag_overrides.update(saved)
+
+
 def backend_ok() -> bool:
     """True when Pallas kernels can execute: real TPU, or interpret mode."""
     import jax

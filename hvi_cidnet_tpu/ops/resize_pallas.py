@@ -22,7 +22,6 @@ lane-aligned anyway; see ``use_resize_pallas``).
 from __future__ import annotations
 
 import functools
-import os
 
 import numpy as np
 import jax
@@ -31,7 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hvi_cidnet_tpu.ops.resize import _band_weights
-from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, pallas_allowed
+from hvi_cidnet_tpu.ops.pallas_gate import backend_ok, force_interpret, kernel_flag, pallas_allowed
 
 
 def use_resize_pallas(b: int) -> bool:
@@ -39,7 +38,7 @@ def use_resize_pallas(b: int) -> bool:
     a lane-tile multiple (otherwise (C, B) tiles pad the lane dim 8-16x and
     the kernel loses to XLA; small-batch eval/train take the banded path).
     SPMD safety is structural — see ops/pallas_gate.py."""
-    if os.environ.get("RESIZE_USE_PALLAS", "1") != "1":
+    if not kernel_flag("resize_pallas"):
         return False
     return pallas_allowed() and backend_ok() and b % 128 == 0
 
