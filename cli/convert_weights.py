@@ -25,6 +25,7 @@ p.add_argument("dst")
 p.add_argument("--hf", action="store_true", help="write dst as an HF folder (model.safetensors + config.json)")
 p.add_argument("--channels", type=int, nargs=4, default=(36, 36, 72, 144), help="config.json channels (HF export)")
 p.add_argument("--heads", type=int, nargs=4, default=(1, 2, 4, 8), help="config.json heads (HF export)")
+p.add_argument("--variant", choices=("base", "mssa", "tnsm"), default="base", help="model variant recorded in config.json (HF export)")
 args = p.parse_args()
 
 params = load_any(args.src)
@@ -32,7 +33,7 @@ print(f"loaded {len(params)} tensors from {args.src}")
 if args.hf:
     from hvi_cidnet_tpu.models.cidnet import CIDNetConfig
 
-    cfg = CIDNetConfig(variant="base", channels=tuple(args.channels), heads=tuple(args.heads))
+    cfg = CIDNetConfig(variant=args.variant, channels=tuple(args.channels), heads=tuple(args.heads))
     save_pretrained(args.dst, params, cfg)
 elif args.dst.endswith(".npz"):
     save_checkpoint(args.dst, params)

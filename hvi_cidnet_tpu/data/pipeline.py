@@ -32,6 +32,7 @@ class TrainLoader:
         prefetch: int = 4,
         sharding=None,
         device_put: bool = True,
+        batch_rows: Optional[slice] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,6 +43,10 @@ class TrainLoader:
         # device_put=False yields host numpy batches — the multi-host loader
         # (parallel/multihost.py) assembles global arrays itself
         self.device_put = device_put
+        # batch_rows: decode only this row range of every batch while still
+        # advancing the augmentation rng for the FULL batch — the multi-host
+        # loader's per-process slice (deterministic across processes)
+        self.batch_rows = batch_rows
         self._rng = np.random.default_rng(seed)
         self.steps_per_epoch = max(1, len(dataset) // batch_size)
         # persistent pool: a fresh executor per batch cost thread spawn +
@@ -53,6 +58,9 @@ class TrainLoader:
 
     def _make_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
         seeds = self._rng.integers(0, 2**31, size=len(indices))
+        if self.batch_rows is not None:
+            indices = indices[self.batch_rows]
+            seeds = seeds[self.batch_rows]
 
         def one(args):
             idx, s = args
@@ -67,6 +75,12 @@ class TrainLoader:
         """One epoch of device-resident batches, prefetched."""
         n = len(self.dataset)
         order = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        if n < self.batch_size:
+            # a dataset smaller than one batch resamples (with wraparound) to
+            # a FULL batch: the jitted step needs static shapes, and the
+            # multi-host loader needs every process slice populated — a torch
+            # DataLoader would emit a short batch here instead
+            order = np.tile(order, -(-self.batch_size // n))[: self.batch_size]
         steps = self.steps_per_epoch
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -82,7 +82,6 @@ class Evaluator:
         self.bucket_factor = bucket_factor
         self.max_programs = max_programs
         self._jit = jax.jit(self._forward)
-        self._compiled_shapes: set = set()  # recompile-count log
 
     def _forward(self, params, x):
         x = jnp.power(x, self.gamma) if self.gamma != 1.0 else x  # eval.py:64
@@ -103,7 +102,6 @@ class Evaluator:
 
     def enhance_batch(self, imgs: np.ndarray) -> np.ndarray:
         """Enhance a stacked NHWC batch (same padded shape)."""
-        self._compiled_shapes.add(imgs.shape)
         out = self._jit(self.params, jnp.asarray(imgs, self.compute_dtype))
         return np.asarray(out)
 

@@ -145,6 +145,42 @@ def _ln_stats_conv() -> bool:
     return kernel_flag("ln_stats_conv")
 
 
+@jax.custom_vjp
+def _channel_moments_conv(x: jnp.ndarray):
+    """fp32 channel moments (mean, mean-of-squares) via C->1 ones-convs.
+
+    The mean conv keeps the bf16 operand (fp32 accumulation via
+    ``preferred_element_type``) — the arm the A/B measures.  AD cannot
+    differentiate that conv (its lhs-transpose rule would build a
+    mixed-dtype f32xbf16 conv, which jax rejects), so the backward is the
+    analytic gradient of the moments instead: d(u)/dx = g_u/n broadcast,
+    d(m2)/dx = 2x*g_m2/n.
+    """
+    n = x.shape[CH_AXIS]
+    k = jnp.ones((1, 1, n, 1), x.dtype)  # exact in bf16; divide in fp32 below
+    u = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "VALID", dimension_numbers=_DN,
+        preferred_element_type=jnp.float32) / n
+    m2 = jax.lax.conv_general_dilated(
+        jnp.square(x.astype(jnp.float32)), k.astype(jnp.float32),
+        (1, 1), "VALID", dimension_numbers=_DN) / n
+    return u, m2
+
+
+def _channel_moments_conv_fwd(x):
+    return _channel_moments_conv(x), x
+
+
+def _channel_moments_conv_bwd(x, g):
+    gu, gm2 = g
+    n = x.shape[CH_AXIS]
+    gx = gu / n + gm2 * (2.0 / n) * x.astype(jnp.float32)
+    return (gx.astype(x.dtype),)
+
+
+_channel_moments_conv.defvjp(_channel_moments_conv_fwd, _channel_moments_conv_bwd)
+
+
 def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
     """Channel LayerNorm over the HWCB channel axis.
 
@@ -174,13 +210,7 @@ def layer_norm_channels(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray, 
         # ones/n kernel computes the identical fp32-accumulated channel
         # moments on the MXU (experiments/ln_stats_mxu_r3.py measures the
         # arms; numerics equal to the reduce path up to summation order).
-        k = jnp.ones((1, 1, n, 1), dt)  # exact in bf16; divide in fp32 below
-        u = jax.lax.conv_general_dilated(
-            x, k, (1, 1), "VALID", dimension_numbers=_DN,
-            preferred_element_type=jnp.float32) / n
-        m2 = jax.lax.conv_general_dilated(
-            jnp.square(x.astype(jnp.float32)), k.astype(jnp.float32),
-            (1, 1), "VALID", dimension_numbers=_DN) / n
+        u, m2 = _channel_moments_conv(x)
     else:
         u = jnp.sum(x, axis=CH_AXIS, keepdims=True, dtype=jnp.float32) / n
         m2 = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=CH_AXIS, keepdims=True) / n

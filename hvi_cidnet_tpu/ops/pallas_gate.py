@@ -84,7 +84,16 @@ def kernel_flag(name: str) -> bool:
     if name in _flag_overrides:
         return _flag_overrides[name]
     raw = os.environ.get(env)
-    return default if raw is None else raw == "1"
+    if raw is None:
+        return default
+    val = raw.strip().lower()
+    if val in ("1", "true", "yes", "on"):
+        return True
+    if val in ("0", "false", "no", "off", ""):
+        return False
+    # loud beats silent: an unrecognized value flipping a default-on kernel
+    # off would be an invisible serving-throughput regression
+    raise ValueError(f"{env}={raw!r} not understood; use 1/0 (or true/false)")
 
 
 def set_kernel_flag(name: str, value) -> None:

@@ -47,17 +47,26 @@ def dp_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: f
             out = out[0]
         return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
 
-    fn = jax.jit(
-        jax.shard_map(
-            local_fn,
-            mesh=mesh,
-            in_specs=(P(), P(axis)),
-            out_specs=P(axis),
-            # pallas_call out_shapes carry no varying-mesh-axes metadata;
-            # the body is collective-free, so the vma checker adds nothing
-            check_vma=False,
-        )
+    mapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(axis),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata;
+        # the body is collective-free, so the vma checker adds nothing
+        check_vma=False,
     )
+
+    @jax.jit
+    def fn(params, x):
+        if x.shape[0] % mesh.size:
+            raise ValueError(
+                f"global batch {x.shape[0]} must be divisible by the "
+                f"{mesh.size}-device mesh for dp_enhance_fn — pad the tail "
+                "batch (eval/evaluator.py buckets do this) or drop it"
+            )
+        return mapped(params, x)
+
     return fn, batch_sharding, replicated
 
 

@@ -25,7 +25,6 @@ from __future__ import annotations
 
 from typing import Iterator, Optional, Tuple
 
-import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -89,7 +88,10 @@ class MultiHostTrainLoader:
             global_batch, process_index=process_index, process_count=process_count
         )
         # the inner loader produces *local* batches on the host (prefetched
-        # via its producer thread); global-array assembly happens here
+        # via its producer thread); global-array assembly happens here.
+        # batch_rows makes every process advance the SAME augmentation rng
+        # stream for the full global batch but decode only its slice — crops/
+        # flips stay deterministic and process-independent.
         self._inner = TrainLoader(
             dataset,
             global_batch,
@@ -99,27 +101,9 @@ class MultiHostTrainLoader:
             prefetch=prefetch,
             sharding=None,
             device_put=False,
+            batch_rows=self.local,
         )
-        # decode only the local rows of each global batch
-        self._inner._make_batch = self._make_local_batch  # type: ignore[assignment]
         self.steps_per_epoch = self._inner.steps_per_epoch
-
-    def _make_local_batch(self, indices) -> Tuple[np.ndarray, np.ndarray]:
-        # every process advances the SAME augmentation rng stream for the
-        # full global batch, then decodes only its slice — keeps crops/flips
-        # deterministic and process-independent
-        seeds = self._inner._rng.integers(0, 2**31, size=len(indices))
-        local_idx = indices[self.local]
-        local_seeds = seeds[self.local]
-
-        def one(args):
-            idx, s = args
-            return self._inner.dataset.sample(int(idx), np.random.default_rng(int(s)))
-
-        pairs = list(self._inner._pool.map(one, zip(local_idx, local_seeds)))
-        lows = np.stack([p[0] for p in pairs])
-        highs = np.stack([p[1] for p in pairs])
-        return lows, highs
 
     def close(self):
         self._inner.close()

@@ -99,6 +99,12 @@ def save_pretrained(directory: str, params: Dict[str, jnp.ndarray], config=None)
             "heads": list(config.heads),
             "norm": bool(config.norm),
         }
+        # the reference mixin only ever serializes the base model's kwargs;
+        # mssa/tnsm folders carry extra tensors that a variant-less reload
+        # would silently shape-filter away, so record the variant explicitly
+        # (config_from_hf_json defaults to "base" when the key is absent)
+        if config.variant != "base":
+            cfg["variant"] = config.variant
     with open(os.path.join(directory, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2)
     return directory

@@ -191,6 +191,12 @@ def make_train_step(
         grads_call = grads_fn
 
     def step(params, opt_state, low, high, gamma, vgg_params):
+        if mesh is not None and low.shape[0] % mesh.size:
+            raise ValueError(
+                f"global batch {low.shape[0]} must be divisible by the "
+                f"{mesh.size}-device mesh for the shard_map train step — "
+                "choose --batchSize as a multiple of the device count"
+            )
         loss, out, grads = grads_call(params, low, high, gamma, vgg_params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

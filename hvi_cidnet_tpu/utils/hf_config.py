@@ -38,4 +38,10 @@ def config_from_hf_json(path: Optional[str]) -> CIDNetConfig:
         kwargs["heads"] = tuple(int(h) for h in hd)
     if "norm" in raw:
         kwargs["norm"] = bool(raw["norm"])
-    return CIDNetConfig(variant="base", **kwargs)
+    # our save_pretrained records non-base variants; reference-produced
+    # config.json files have no such key (the mixin serializes base kwargs
+    # only), so absence means "base"
+    variant = raw.get("variant", "base")
+    if variant not in ("base", "mssa", "tnsm"):
+        raise ValueError(f"config.json variant must be base/mssa/tnsm, got {variant!r}")
+    return CIDNetConfig(variant=variant, **kwargs)

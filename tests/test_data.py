@@ -183,7 +183,35 @@ def test_multihost_process_slices_partition_the_batch(tmp_path):
             process_index=p, process_count=4,
         )
         order = lo._inner._rng.permutation(len(ds))
-        low_p, _ = lo._make_local_batch(order[:8])
+        low_p, _ = lo._inner._make_batch(order[:8])  # batch_rows slices to p's rows
         parts_low.append(low_p)
         lo.close()
     np.testing.assert_array_equal(np.concatenate(parts_low), np.asarray(ref_low))
+
+
+def test_loader_resamples_dataset_smaller_than_batch(tmp_path):
+    """A dataset smaller than one batch wraps around to a FULL batch: the
+    jitted step needs static shapes, and the multi-host loader needs every
+    process slice populated (a 485-pair set at pod-scale global batches
+    would otherwise hand processes unequal shard shapes)."""
+    from jax.sharding import PartitionSpec as P
+
+    from hvi_cidnet_tpu.parallel.mesh import make_mesh
+    from hvi_cidnet_tpu.parallel.multihost import MultiHostTrainLoader
+
+    root = str(tmp_path / "tiny")
+    _make_pair_tree(root, n=3)
+    ds = PairedFolderDataset(root + "/low", root + "/high", crop_size=16)
+
+    loader = TrainLoader(ds, batch_size=8, seed=0, num_threads=2)
+    batches = list(loader.epoch())
+    assert len(batches) == loader.steps_per_epoch == 1
+    assert batches[0][0].shape == (8, 16, 16, 3)
+    loader.close()
+
+    mesh = make_mesh(axis_names=("data",))
+    multi = MultiHostTrainLoader(ds, 8, mesh=mesh, seed=0, num_threads=2)
+    glow, ghigh = next(iter(multi.epoch()))
+    assert glow.shape == (8, 16, 16, 3) and ghigh.shape == (8, 16, 16, 3)
+    assert glow.sharding.spec == P("data")
+    multi.close()

@@ -55,11 +55,14 @@ def test_bounded_program_count_for_unpaired_sizes(tmp_path):
 
     params = init_cidnet(jax.random.PRNGKey(5), TINY)
     ev = Evaluator(params, TINY, HVIGates(), max_programs=4)
+    seen_shapes = set()
+    orig_enhance_batch = ev.enhance_batch
+    ev.enhance_batch = lambda imgs: (seen_shapes.add(imgs.shape), orig_enhance_batch(imgs))[1]
     out_dir = tmp_path / "out"
     n = ev.run_dataset(EvalDataset(str(low_dir)), str(out_dir), verbose=False,
                        batch_size=4)
     assert n == 14
-    assert len(ev._compiled_shapes) <= 4
+    assert len(seen_shapes) <= 4
     for i, (h, w) in enumerate(sizes):  # outputs cropped back to true size
         assert Image.open(out_dir / f"{i}.png").size == (w, h)
     # paired contract untouched: no cap -> exact x8 quantum

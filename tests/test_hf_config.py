@@ -63,10 +63,31 @@ def test_save_pretrained_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(loaded[k]), np.asarray(params[k]))
 
 
+def test_save_pretrained_preserves_variant(tmp_path):
+    """Non-base exports record their variant: a TNSM folder reloading as
+    'base' would silently shape-filter the TNSM tensors away."""
+    from hvi_cidnet_tpu.train.checkpoint import save_pretrained
+
+    cfg = CIDNetConfig(variant="tnsm", channels=(8, 8, 16, 32))
+    params = init_cidnet(jax.random.PRNGKey(4), cfg)
+    out = save_pretrained(str(tmp_path / "hub_tnsm"), params, cfg)
+    cfg2 = config_from_hf_json(out + "/config.json")
+    assert cfg2.variant == "tnsm" and cfg2.channels == cfg.channels
+
+    # base folders stay reference-shaped: no variant key at all
+    cfgb = CIDNetConfig(variant="base", channels=(8, 8, 16, 32))
+    outb = save_pretrained(str(tmp_path / "hub_base"), init_cidnet(jax.random.PRNGKey(5), cfgb), cfgb)
+    assert "variant" not in json.load(open(outb + "/config.json"))
+    assert config_from_hf_json(outb + "/config.json").variant == "base"
+
+
 def test_unknown_keys_ignored_and_bad_values_raise(tmp_path):
     f = tmp_path / "config.json"
     f.write_text(json.dumps({"channels": [36, 36, 72, 144], "architectures": ["CIDNet"]}))
     assert config_from_hf_json(str(f)).channels == (36, 36, 72, 144)
     f.write_text(json.dumps({"channels": [36, 36]}))
     with pytest.raises(ValueError):
+        config_from_hf_json(str(f))
+    f.write_text(json.dumps({"variant": "resnet"}))
+    with pytest.raises(ValueError, match="variant"):
         config_from_hf_json(str(f))

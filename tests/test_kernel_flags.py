@@ -8,6 +8,7 @@ defaults for subprocess A/Bs like `LN_STATS_CONV=1 python bench.py`).
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from hvi_cidnet_tpu.ops.pallas_gate import kernel_flag, kernel_flags, set_kernel_flag
@@ -40,6 +41,63 @@ def test_set_and_clear():
     assert kernel_flag("attn_pallas") is False
     with pytest.raises(KeyError):
         set_kernel_flag("not_a_seam", True)
+
+
+def test_env_value_parsing(monkeypatch):
+    """Truthy spellings keep default-on kernels ON; junk raises rather than
+    silently disabling a kernel (a deployment exporting HVI_USE_PALLAS=true
+    must not fall back to the slow path without a word)."""
+    for val, expect in (("1", True), ("true", True), ("YES", True), ("on", True),
+                        ("0", False), ("False", False), ("off", False), ("", False)):
+        monkeypatch.setenv("HVI_USE_PALLAS", val)
+        assert kernel_flag("hvi_pallas") is expect, val
+    monkeypatch.setenv("HVI_USE_PALLAS", "2")
+    with pytest.raises(ValueError, match="HVI_USE_PALLAS"):
+        kernel_flag("hvi_pallas")
+
+
+def test_ln_stats_conv_grad_matches_reduce_path():
+    """The conv-stats arm is trainable: the raw bf16 stats conv with fp32
+    accumulation has no jax transpose rule (mixed-dtype conv), so the seam
+    carries a custom VJP with the analytic moments gradient.
+
+    Exact check: the moments' VJP equals autodiff of the fp32-upcast moments
+    (same math, fp32 throughout, one bf16 cast at the end).  End-to-end LN
+    grads vs the reduce arm only match to bf16 rounding — the two programs
+    quantize different intermediates."""
+    from hvi_cidnet_tpu.ops.conv import _channel_moments_conv, layer_norm_channels
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(4, 4, 8, 2)), jnp.bfloat16)
+
+    def moments_ref(xx):
+        xf = xx.astype(jnp.float32)
+        return jnp.mean(xf, axis=2, keepdims=True), jnp.mean(jnp.square(xf), axis=2, keepdims=True)
+
+    def scalar(fn):
+        def f(xx):
+            u, m2 = fn(xx)
+            return jnp.sum(u * 3.0 - m2 * 0.5)
+        return f
+
+    g_conv = jax.grad(scalar(_channel_moments_conv))(x)
+    g_ref = jax.grad(scalar(moments_ref))(x)
+    np.testing.assert_array_equal(np.asarray(g_conv, np.float32), np.asarray(g_ref, np.float32))
+
+    w = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+
+    def loss(xx, ww, bb):
+        return jnp.sum(jnp.square(layer_norm_channels(xx, ww, bb).astype(jnp.float32)))
+
+    with kernel_flags(ln_stats_conv=True):
+        g_on = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    with kernel_flags(ln_stats_conv=False):
+        g_off = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    for a, c in zip(g_on, g_off):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(c, np.float32), rtol=0.05, atol=0.1
+        )
 
 
 def test_ln_stats_conv_flag_changes_emitted_ops():

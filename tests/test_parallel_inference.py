@@ -51,6 +51,16 @@ def test_dp_matches_single_device_real_widths(mesh, variant):
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
 
 
+def test_dp_rejects_indivisible_batch(mesh):
+    """A tail batch that doesn't divide the mesh fails with a clear message
+    (the evaluator's buckets pad tails; a raw caller must hear why)."""
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    fn, bs, rep = dp_enhance_fn(mesh, TINY, HVIGates())
+    batch = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (5, 16, 16, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        fn(jax.device_put(params, rep), batch)
+
+
 @pytest.mark.parametrize("variant", ["base", "mssa", "tnsm"])
 def test_spatial_sharding_matches_single_device_real_widths(mesh, variant):
     """Rows sharded over 8 chips: XLA inserts halo exchanges for convs and

@@ -127,6 +127,20 @@ def test_grad_clip_mode_clip_changes_update():
     assert not np.allclose(np.asarray(outs["faithful"]), np.asarray(outs["clip"]))
 
 
+def test_mesh_step_rejects_indivisible_batch():
+    """The shard_map step's contract (batch % mesh size == 0) fails loudly
+    with a config hint, not with shard_map's internal divisibility error."""
+    mesh = make_mesh(axis_names=("data",))
+    cfg = _cfg()
+    params = init_cidnet(jax.random.PRNGKey(8), TINY)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    step = make_train_step(cfg, opt, mesh=mesh)
+    low, high = _batch(n=12, seed=9)  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="batchSize"):
+        step(params, opt_state, low, high, jnp.asarray(1.0), None)
+
+
 def test_data_parallel_mesh_8dev():
     """Full train step over an 8-device mesh: batch sharded, params replicated;
     XLA inserts the gradient all-reduce (SURVEY.md §2.3 item 1)."""
