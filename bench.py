@@ -4,28 +4,53 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline: the north-star target of 1,500 600x400 images/sec bf16 on a single
 TPU v5e chip (BASELINE.json; the reference publishes no throughput numbers).
+
+Resilience contract (VERDICT r3 #2): the tunneled TPU backend is flaky —
+round 3's driver run died with "Unable to initialize backend 'axon'" and the
+round shipped without a headline number.  The measurement therefore runs in a
+child subprocess (a failed backend init cannot poison cached state in a fresh
+process) under a bounded retry loop with exponential backoff; on final
+failure the parent still emits a structured ``{"error": ...}`` JSON line
+instead of a bare traceback.
+
+Env knobs:
+  BENCH_BATCH / BENCH_ITERS       measurement geometry (default 128 / 8)
+  BENCH_RETRY_SECONDS             total retry budget (default 600)
+  BENCH_ATTEMPT_TIMEOUT           per-attempt wall limit (default 900)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-
-from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
-
 TARGET = 1500.0  # img/s, driver-set north star
 H, W = 400, 600  # LOL eval images are 600x400 (WxH); both already x8-divisible
 
+# Failure signatures worth retrying: transient backend/tunnel outages.  A
+# genuine code bug (ImportError, shape error, ...) fails fast instead of
+# burning the retry budget.
+RETRYABLE = re.compile(
+    r"(?i)unable to initialize backend|unavailable|deadline[_ ]exceeded"
+    r"|connection|connect failed|socket|tunnel|timed?[ _]?out|backend setup"
+    r"|resource[_ ]exhausted|heartbeat|rpc"
+)
 
-def main() -> None:
+
+def measure() -> dict:
+    """The actual single-chip measurement (runs in the child process)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
+
     # batch 128 ~doubles throughput vs 32 (per-op overheads amortize);
     # 192+ exceeds the 16 GB HBM at 600x400.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
@@ -60,16 +85,131 @@ def main() -> None:
     dt = (time.perf_counter() - t0) / iters
     throughput = batch / dt
 
-    print(
-        json.dumps(
-            {
-                "metric": "600x400 images/sec/chip (bf16 CIDNet inference)",
-                "value": round(throughput, 2),
-                "unit": "img/s",
-                "vs_baseline": round(throughput / TARGET, 4),
-            }
+    return {
+        "metric": "600x400 images/sec/chip (bf16 CIDNet inference)",
+        "value": round(throughput, 2),
+        "unit": "img/s",
+        "vs_baseline": round(throughput / TARGET, 4),
+    }
+
+
+def _selftest_once() -> int:
+    """Simulated-outage mode for the retry-path test (no jax import).
+
+    With BENCH_SELFTEST_FAILS=N and BENCH_SELFTEST_STATE=<counter file>, the
+    first N child attempts die with the round-3 backend-outage signature;
+    subsequent attempts succeed with a marker result.
+    """
+    fails = int(os.environ["BENCH_SELFTEST_FAILS"])
+    state = os.environ["BENCH_SELFTEST_STATE"]
+    n = 0
+    if os.path.exists(state):
+        with open(state) as f:
+            n = int(f.read().strip() or 0)
+    with open(state, "w") as f:
+        f.write(str(n + 1))
+    if n < fails:
+        print(
+            "RuntimeError: Unable to initialize backend 'axon': UNAVAILABLE: "
+            "TPU backend setup/compile error (Unavailable).",
+            file=sys.stderr,
         )
-    )
+        return 1
+    print(json.dumps({"metric": "selftest", "value": 1.0, "unit": "ok", "vs_baseline": 1.0}))
+    return 0
+
+
+def extract_result(stdout: str) -> dict | None:
+    """Last stdout line that parses as a JSON object with a 'metric' key."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            obj = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(obj, dict) and "metric" in obj:
+            return obj
+    return None
+
+
+def run_attempt(timeout: float) -> tuple[int, str, str]:
+    """One measurement attempt in a fresh interpreter."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once"],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        return proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        return -1, out, f"attempt timed out after {timeout:.0f}s"
+
+
+def retry_loop(attempt, budget: float, *, base_delay: float = 5.0, max_delay: float = 60.0):
+    """Bounded-retry driver around ``attempt() -> (rc, stdout, stderr)``.
+
+    Returns the success result dict, or raises SystemExit after printing a
+    structured error line.  Separated from main() so the outage test can
+    drive it with an injected attempt function too.
+    """
+    deadline = time.monotonic() + budget
+    delay = base_delay
+    attempts = 0
+    last_err = ""
+    while True:
+        attempts += 1
+        rc, out, err = attempt()
+        result = extract_result(out)
+        if rc == 0 and result is not None:
+            if attempts > 1:
+                print(f"bench: succeeded on attempt {attempts}", file=sys.stderr)
+            return result
+        tail = "\n".join((err or out).strip().splitlines()[-30:])
+        last_err = tail
+        remaining = deadline - time.monotonic()
+        retryable = rc == -1 or bool(RETRYABLE.search(tail))
+        if not retryable or remaining <= 0:
+            why = "non-retryable failure" if not retryable else "retry budget exhausted"
+            print(
+                f"bench: giving up after {attempts} attempt(s): {why}", file=sys.stderr
+            )
+            print(
+                json.dumps(
+                    {
+                        "metric": "600x400 images/sec/chip (bf16 CIDNet inference)",
+                        "error": last_err[-2000:],
+                        "attempts": attempts,
+                        "retryable": retryable,
+                    }
+                )
+            )
+            raise SystemExit(1)
+        wait = min(delay, max(remaining, 1.0))
+        print(
+            f"bench: attempt {attempts} failed (transient backend error); "
+            f"retrying in {wait:.0f}s ({remaining:.0f}s budget left)\n"
+            f"  last error: {tail.splitlines()[-1] if tail else '?'}",
+            file=sys.stderr,
+        )
+        time.sleep(wait)
+        delay = min(delay * 2, max_delay)
+
+
+def main() -> None:
+    if "--once" in sys.argv:
+        if os.environ.get("BENCH_SELFTEST_FAILS"):
+            raise SystemExit(_selftest_once())
+        print(json.dumps(measure()))
+        return
+    budget = float(os.environ.get("BENCH_RETRY_SECONDS", "600"))
+    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
+    base_delay = float(os.environ.get("BENCH_BASE_DELAY", "5"))
+    result = retry_loop(lambda: run_attempt(timeout), budget, base_delay=base_delay)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

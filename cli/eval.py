@@ -48,10 +48,14 @@ def parser() -> argparse.ArgumentParser:
     p.add_argument("--eval_batch", type=int, default=8,
                    help="images per device batch in bucketed eval; 128 engages "
                         "the fused TPU resize kernels (serving mode)")
-    p.add_argument("--max_programs", type=int, default=12,
-                   help="bound on distinct XLA programs for arbitrary-size "
-                        "(unpaired/custom) sets; paired sets always use the "
-                        "exact pad-to-x8 contract")
+    p.add_argument("--max_programs", type=int, default=None,
+                   help="OPT-IN bound on distinct XLA programs for arbitrary-"
+                        "size (unpaired/custom) sets. Default off: exact pad-"
+                        "to-x8 everywhere, reference-faithful values. Setting "
+                        "a bound escalates the pad quantum, which perturbs "
+                        "outputs inside the crop (channel attention sees the "
+                        "padded pixels) and thus NIQE/BRISQUE scores slightly "
+                        "— trade compile time for exactness deliberately")
     return p
 
 
@@ -109,8 +113,9 @@ def main():
         gates,
         gamma=ep.gamma,
         compute_dtype=jnp.dtype(ep.dtype),
-        # arbitrary-size sets get a bounded program count; paired sets keep
-        # the exact x8 pad (released-checkpoint metric parity)
+        # bounded program count is opt-in and only meaningful for arbitrary-
+        # size sets; paired sets always keep the exact x8 pad (released-
+        # checkpoint metric parity) regardless of the flag
         max_programs=ep.max_programs if (ep.unpaired or ep.custome) else None,
     )
     n = ev.run_dataset(EvalDataset(eval_dir, pad=pad), out, batch_size=ep.eval_batch)

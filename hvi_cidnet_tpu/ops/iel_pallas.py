@@ -69,11 +69,27 @@ def _pick_tiles(h: int, w: int, c: int, b: int, itemsize: int, budget=72 * 1024 
     return None
 
 
-def _branch_kernel(y0_ref, yu_ref, yd_ref, w1_ref, w2_ref, o_ref, s_ref, t_ref, *, th, w):
+def _branch_kernel(y0_ref, yu_ref, yd_ref, w1_ref, w2_ref, o_ref, s_ref, t_ref, *, th, w, c, ct):
     """Blocks: y0 (th, W, ct, B) main; yu/yd (2, W, ct, B) halo strips."""
     f32 = jnp.float32
     nt = pl.num_programs(0)
     t = pl.program_id(0)
+
+    # Partial last channel block (c % ct != 0): Pallas fills the out-of-
+    # bounds tail of each block with UNSPECIFIED padding.  Depthwise convs
+    # never mix channels, but 0 * NaN = NaN and relying on Mosaic padding
+    # semantics is fragile (ADVICE r3) — mask BOTH the data and the weights
+    # to zero in the invalid lanes so the tail is provably 0 end-to-end
+    # (the out-block's OOB writes are then dropped by Pallas).
+    if c % ct:
+        ch = jax.lax.broadcasted_iota(jnp.int32, (1, 1, ct, 1), 2)
+        chmask = (pl.program_id(1) * ct + ch) < c  # (1, 1, ct, 1)
+        w1 = jnp.where(chmask[0], w1_ref[:], 0)
+        w2 = jnp.where(chmask[0], w2_ref[:], 0)
+    else:
+        chmask = None
+        w1 = w1_ref[:]
+        w2 = w2_ref[:]
 
     # ---- stage 0: scratch s = [upper halo(2) | main(th) | lower halo(2)]
     # with W borders zeroed (zero-'SAME' columns)
@@ -82,6 +98,8 @@ def _branch_kernel(y0_ref, yu_ref, yd_ref, w1_ref, w2_ref, o_ref, s_ref, t_ref, 
     s_ref[0:2, 1:w + 1] = yu_ref[:]
     s_ref[2:th + 2, 1:w + 1] = y0_ref[:]
     s_ref[th + 2:th + 4, 1:w + 1] = yd_ref[:]
+    if chmask is not None:
+        s_ref[:] = jnp.where(chmask, s_ref[:], 0)
 
     @pl.when(t == 0)
     def _():  # image top: zero-'SAME' rows
@@ -91,12 +109,12 @@ def _branch_kernel(y0_ref, yu_ref, yd_ref, w1_ref, w2_ref, o_ref, s_ref, t_ref, 
     def _():  # image bottom
         s_ref[th + 2:th + 4] = jnp.zeros_like(s_ref[th + 2:th + 4])
 
-    def row_conv(ref, j, wref):
+    def row_conv(ref, j, wv):
         """fp32 3x3 tap sum for output row j (ref rows j..j+2, W+2 cols)."""
-        acc = ref[j, 0:w].astype(f32) * wref[0]  # (w, ct, b) * (1, ct, 1)
+        acc = ref[j, 0:w].astype(f32) * wv[0]  # (w, ct, b) * (1, ct, 1)
         for k in range(1, 9):
             dy, dx = divmod(k, 3)
-            acc = acc + ref[j + dy, dx:dx + w].astype(f32) * wref[k]
+            acc = acc + ref[j + dy, dx:dx + w].astype(f32) * wv[k]
         return acc  # (w, ct, b)
 
     # ---- dw1 over output rows [-1, th+1) -> t1 (th+2 rows), W borders
@@ -104,7 +122,7 @@ def _branch_kernel(y0_ref, yu_ref, yd_ref, w1_ref, w2_ref, o_ref, s_ref, t_ref, 
     t_ref[:, 0:1] = jnp.zeros_like(t_ref[:, 0:1])
     t_ref[:, w + 1:w + 2] = jnp.zeros_like(t_ref[:, w + 1:w + 2])
     for j in range(th + 2):
-        t_ref[j, 1:w + 1] = row_conv(s_ref, j, w1_ref).astype(t_ref.dtype)
+        t_ref[j, 1:w + 1] = row_conv(s_ref, j, w1).astype(t_ref.dtype)
 
     # dw2's zero-'SAME' pads the *t1* tensor: its out-of-image rows are
     # zeros, NOT conv-extrapolated values (image row 0 is still inside the
@@ -120,7 +138,7 @@ def _branch_kernel(y0_ref, yu_ref, yd_ref, w1_ref, w2_ref, o_ref, s_ref, t_ref, 
     # ---- dw2 (+ tanh + residual, in the activation dtype like XLA's
     # epilogue) over the th output rows
     for j in range(th):
-        acc2 = row_conv(t_ref, j, w2_ref)
+        acc2 = row_conv(t_ref, j, w2)
         o_ref[j] = jnp.tanh(acc2.astype(o_ref.dtype)) + t_ref[j + 1, 1:w + 1]
 
 
@@ -142,7 +160,7 @@ def iel_branch_pallas(
     def wmat(wt):  # (3, 3, 1, C) -> (9, 1, C, 1) f32
         return jnp.transpose(wt.astype(jnp.float32), (0, 1, 3, 2)).reshape(9, 1, c, 1)
 
-    kern = functools.partial(_branch_kernel, th=th, w=w)
+    kern = functools.partial(_branch_kernel, th=th, w=w, c=c, ct=ct)
     # halo strips in 2-row block units: rows [t*th-2, t*th) and
     # [t*th+th, t*th+th+2), clamped at the edges (kernel zeroes them there)
     h2 = th // 2

@@ -22,25 +22,36 @@ from __future__ import annotations
 
 import contextlib
 import os
+import threading
 
 # Trace-time allow-stack: ``cidnet_forward(use_pallas=False)`` pushes False
 # for the duration of its (re)trace, and every kernel gate consults the top.
 # Python context state is trace-synchronous under jit, so the flag is always
-# correct for the program being built.
-_ALLOW = [True]
+# correct for the program being built.  Thread-LOCAL so concurrent tracing
+# from multiple threads cannot leak one trace's flag into another
+# (ADVICE r3); each new thread starts at the default [True].
+_TLS = threading.local()
+
+
+def _allow_stack() -> list:
+    stack = getattr(_TLS, "allow", None)
+    if stack is None:
+        stack = _TLS.allow = [True]
+    return stack
 
 
 @contextlib.contextmanager
 def allow_pallas(flag: bool):
-    _ALLOW.append(bool(flag))
+    stack = _allow_stack()
+    stack.append(bool(flag))
     try:
         yield
     finally:
-        _ALLOW.pop()
+        stack.pop()
 
 
 def pallas_allowed() -> bool:
-    return _ALLOW[-1]
+    return _allow_stack()[-1]
 
 
 def force_interpret() -> bool:

@@ -32,11 +32,21 @@ from hvi_cidnet_tpu.data.pipeline import TrainLoader
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Idempotent ``jax.distributed.initialize`` wrapper (pod launch)."""
+    """Idempotent ``jax.distributed.initialize`` wrapper (pod launch).
+
+    Only the already-initialized case is tolerated; genuine launch failures
+    (unreachable coordinator, bad env) propagate — a pod process silently
+    continuing as single-process would hang or misassemble global batches
+    later in ``jax.make_array_from_process_local_data`` (ADVICE r3).
+    """
+    if jax.distributed.is_initialized():
+        return
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized (e.g. single-process dev runs)
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise
 
 
 def process_local_slice(
@@ -57,6 +67,46 @@ def process_local_slice(
         raise ValueError(f"global batch {global_batch} not divisible by {pc} processes")
     per = global_batch // pc
     return slice(pi * per, (pi + 1) * per)
+
+
+def sharding_local_slice(
+    sharding: NamedSharding,
+    global_batch: int,
+    *,
+    process_index: Optional[int] = None,
+) -> slice:
+    """Row range each global batch assigns to this process's devices,
+    derived from the sharding's actual device→index map.
+
+    Unlike ``process_local_slice`` this is correct for topology-reordered
+    meshes where a process's devices do NOT own rows
+    ``[p*per, (p+1)*per)`` (ADVICE r3: ``make_array_from_process_local_data``
+    places local rows wherever the local devices sit in the global order).
+    Raises if the process's rows are not contiguous — the row-slice loader
+    contract requires one contiguous block per process.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    spans = sorted(
+        (
+            idx[0].start or 0,
+            global_batch if idx[0].stop is None else idx[0].stop,
+        )
+        for d, idx in sharding.devices_indices_map((global_batch,)).items()
+        if d.process_index == pi
+    )
+    if not spans:
+        raise ValueError(f"process {pi} owns no rows of the batch sharding")
+    start, stop = spans[0]
+    for a, b in spans[1:]:
+        if a > stop:
+            raise ValueError(
+                f"process {pi} owns non-contiguous batch rows {spans}; "
+                "the multi-host loader requires one contiguous block per "
+                "process — reorder the mesh (e.g. jax.make_mesh default) "
+                "so process-local devices are adjacent on the data axis"
+            )
+        stop = max(stop, b)
+    return slice(start, stop)
 
 
 class MultiHostTrainLoader:
@@ -84,9 +134,17 @@ class MultiHostTrainLoader:
     ):
         self.global_batch = global_batch
         self.sharding = NamedSharding(mesh, P(axis))
-        self.local = process_local_slice(
-            global_batch, process_index=process_index, process_count=process_count
-        )
+        if process_count is not None:
+            # test override: simulate a pod's row math without real processes
+            self.local = process_local_slice(
+                global_batch, process_index=process_index, process_count=process_count
+            )
+        else:
+            # derive from the sharding's device→index map — correct even for
+            # topology-reordered meshes (ADVICE r3)
+            self.local = sharding_local_slice(
+                self.sharding, global_batch, process_index=process_index
+            )
         # the inner loader produces *local* batches on the host (prefetched
         # via its producer thread); global-array assembly happens here.
         # batch_rows makes every process advance the SAME augmentation rng

@@ -189,6 +189,50 @@ def test_multihost_process_slices_partition_the_batch(tmp_path):
     np.testing.assert_array_equal(np.concatenate(parts_low), np.asarray(ref_low))
 
 
+def test_sharding_local_slice_follows_device_map():
+    """ADVICE r3: the loader's row slice must come from the sharding's
+    actual device→index map, not an assumed process order.  On the 8-fake-
+    device single-process mesh all rows are local; with a simulated foreign
+    process index the derivation must reject (no rows owned)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from hvi_cidnet_tpu.parallel.mesh import make_mesh
+    from hvi_cidnet_tpu.parallel.multihost import sharding_local_slice
+
+    mesh = make_mesh(axis_names=("data",))
+    sh = NamedSharding(mesh, P("data"))
+    assert sharding_local_slice(sh, 16) == slice(0, 16)
+    with pytest.raises(ValueError, match="owns no rows"):
+        sharding_local_slice(sh, 16, process_index=3)
+
+
+def test_initialize_distributed_reraises_real_failures(monkeypatch):
+    """ADVICE r3: only the already-initialized case may be swallowed —
+    a genuine launch failure (unreachable coordinator) must propagate."""
+    import jax
+
+    from hvi_cidnet_tpu.parallel import multihost
+
+    def boom(**kwargs):
+        raise RuntimeError("Unable to connect to coordinator at 10.0.0.1:1234")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    with pytest.raises(RuntimeError, match="coordinator"):
+        multihost.initialize_distributed()
+
+    # the already-initialized message IS swallowed
+    def already(**kwargs):
+        raise RuntimeError("Distributed system is already initialized")
+
+    monkeypatch.setattr(jax.distributed, "initialize", already)
+    multihost.initialize_distributed()  # no raise
+    # and a live runtime short-circuits before calling initialize at all
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    multihost.initialize_distributed()  # no raise
+
+
 def test_loader_resamples_dataset_smaller_than_batch(tmp_path):
     """A dataset smaller than one batch wraps around to a FULL batch: the
     jitted step needs static shapes, and the multi-host loader needs every

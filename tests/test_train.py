@@ -94,6 +94,31 @@ def test_lr_injection_per_epoch():
     assert float(inner.hyperparams["learning_rate"]) == pytest.approx(5e-5)
 
 
+def test_lr_injection_survives_reordered_chain():
+    """tree_set finds learning_rate regardless of chain position."""
+    import optax
+
+    params = init_cidnet(jax.random.PRNGKey(4), TINY)
+    opt = optax.chain(
+        optax.inject_hyperparams(optax.adam)(learning_rate=1e-4),
+        optax.clip_by_global_norm(0.01),  # inject stage no longer last
+    )
+    opt_state = set_learning_rate(opt.init(params), 5e-5)
+    import optax.tree_utils as otu
+
+    assert float(otu.tree_get(opt_state, "learning_rate")) == pytest.approx(5e-5)
+
+
+def test_lr_injection_fails_loudly_without_inject_stage():
+    """A chain with no learning_rate hyperparam must raise, not silently skip."""
+    import optax
+
+    params = init_cidnet(jax.random.PRNGKey(4), TINY)
+    opt = optax.chain(optax.clip_by_global_norm(0.01), optax.adam(1e-4))
+    with pytest.raises(KeyError):
+        set_learning_rate(opt.init(params), 5e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = _cfg()
     params = init_cidnet(jax.random.PRNGKey(5), TINY)
