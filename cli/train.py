@@ -93,10 +93,51 @@ def build_val(opt, name: str):
     return EvalDataset(val_dir, pad=pad), gt_dir, folder
 
 
+def _first_local_image(arr) -> np.ndarray:
+    """First host-fetchable image of a (possibly multi-process) batch.
+
+    In a pod run the output batch is sharded across processes; process 0
+    fetches the lowest-indexed row its local devices own instead of the
+    (non-addressable) global row 0.
+    """
+    if isinstance(arr, jax.Array) and not arr.is_fully_addressable:
+        shard = min(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+        return np.asarray(shard.data)[0]
+    return np.asarray(arr, np.float32)[0]
+
+
 def main():
     opt = option().parse_args()
+    if opt.multihost:
+        # pod launch: must run before the first backend touch (SURVEY §2.3
+        # item 2; reference has no twin — single-GPU trainer train.py:34)
+        from hvi_cidnet_tpu.parallel.multihost import initialize_distributed
+
+        kwargs = {}
+        if opt.coordinator_address is not None:
+            kwargs["coordinator_address"] = opt.coordinator_address
+        if opt.num_processes is not None:
+            kwargs["num_processes"] = opt.num_processes
+        if opt.process_id is not None:
+            kwargs["process_id"] = opt.process_id
+        initialize_distributed(**kwargs)
+    multiproc = jax.process_count() > 1
+    primary = jax.process_index() == 0
+
+    def log(*a, **k):
+        if primary:
+            print(*a, **k)
+
     seed = opt.seed if opt.seed >= 0 else random.randint(1, 1_000_000)
-    print(f"===> seed {seed}")
+    if multiproc and opt.seed < 0:
+        raise SystemExit(
+            "multihost training requires an explicit --seed: every process "
+            "must draw the same global batch order and augmentation stream"
+        )
+    log(f"===> seed {seed}")
+    if multiproc:
+        log(f"===> multihost: {jax.process_count()} processes, "
+            f"{jax.device_count()} global devices")
     if opt.grad_detect:
         jax.config.update("jax_debug_nans", True)
 
@@ -121,7 +162,7 @@ def main():
         end_gamma=opt.end_gamma,
     )
 
-    print("===> Loading datasets")
+    log("===> Loading datasets")
     if synthetic:
         train_set = SyntheticDataset(opt.cropSize, opt.synthetic_steps, opt.batchSize)
         val_set = gt_dir = out_folder = None
@@ -129,8 +170,13 @@ def main():
         train_set = build_train_dataset(opt, ds_name)
         val_set, gt_dir, out_folder = build_val(opt, ds_name)
 
-    print("===> Building model")
+    log("===> Building model")
     params = init_cidnet(jax.random.PRNGKey(seed), model_cfg)
+    if multiproc:
+        # host numpy before the global device_put: every process computes the
+        # identical init (same seed), and numpy input is the supported form
+        # for a sharding that spans non-addressable devices
+        params = jax.tree.map(np.asarray, params)
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params)
     start_epoch = 0
@@ -140,7 +186,7 @@ def main():
         if opt_state_loaded is not None:
             opt_state = opt_state_loaded
         start_epoch = opt.start_epoch
-        print(f"resumed from {path}")
+        log(f"resumed from {path}")
 
     vgg_params = None
     if opt.use_perceptual:
@@ -167,7 +213,7 @@ def main():
     n_dev = mesh.devices.size
     if n_dev > 1:
         params = shard_params(params, mesh)
-        print(f"===> data-parallel over {n_dev} devices")
+        log(f"===> data-parallel over {n_dev} devices")
     sharding = batch_sharding(mesh) if n_dev > 1 else None
 
     # shard_map over the mesh when multi-chip: per-shard traces keep the
@@ -182,10 +228,25 @@ def main():
         cos_restart=opt.cos_restart,
         cos_restart_cyclic=opt.cos_restart_cyclic,
     )
-    loader = TrainLoader(
-        train_set, opt.batchSize, seed=seed, num_threads=opt.threads,
-        shuffle=opt.shuffle, sharding=sharding,
-    )
+    if multiproc:
+        # process-sharded feed: every process decodes only the rows its local
+        # devices own; optimizer state must likewise live as a global
+        # replicated array before entering the global-mesh jit
+        from hvi_cidnet_tpu.parallel.mesh import replicated
+        from hvi_cidnet_tpu.parallel.multihost import MultiHostTrainLoader
+
+        opt_state = jax.device_put(
+            jax.tree.map(np.asarray, opt_state), replicated(mesh)
+        )
+        loader = MultiHostTrainLoader(
+            train_set, opt.batchSize, mesh=mesh, seed=seed,
+            num_threads=opt.threads, shuffle=opt.shuffle,
+        )
+    else:
+        loader = TrainLoader(
+            train_set, opt.batchSize, seed=seed, num_threads=opt.threads,
+            shuffle=opt.shuffle, sharding=sharding,
+        )
 
     host_rng = random.Random(seed)
     psnrs, ssims, lpipss = [], [], []
@@ -198,8 +259,10 @@ def main():
         last_out = last_gt = None
         for low, high in loader.epoch():
             g = host_rng.randint(opt.start_gamma, opt.end_gamma) / 100.0 if opt.gamma else 1.0
+            # numpy scalar (not jnp): multi-process jit requires non-global
+            # inputs to be host values, which it replicates implicitly
             params, opt_state, loss, out = step(
-                params, opt_state, low, high, jnp.asarray(g, jnp.float32), vgg_params
+                params, opt_state, low, high, np.float32(g), vgg_params
             )
             loss = float(loss)
             nonfinite_guard(loss, epoch, n_batches)
@@ -207,39 +270,49 @@ def main():
             n_batches += 1
             last_out, last_gt = out, high
         dt = time.time() - t0
-        print(
+        log(
             f"===> Epoch[{epoch}]: Loss: {epoch_loss / max(n_batches, 1):.4f} || "
             f"lr={sched(epoch - 1):.3e} || {n_batches} steps in {dt:.1f}s"
         )
-        # gradient-explosion canary images (train.py:84-89)
-        if last_out is not None:
+        # gradient-explosion canary images (train.py:84-89); process 0 only
+        if last_out is not None and primary:
             from PIL import Image
 
             canary_dir = os.path.join(opt.val_folder, "training")
             os.makedirs(canary_dir, exist_ok=True)
-            Image.fromarray((np.clip(np.asarray(last_out)[0], 0, 1) * 255).astype(np.uint8)).save(
+            Image.fromarray((np.clip(_first_local_image(last_out), 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(canary_dir, "test.png"))
-            Image.fromarray((np.clip(np.asarray(last_gt, np.float32)[0], 0, 1) * 255).astype(np.uint8)).save(
+            Image.fromarray((np.clip(_first_local_image(last_gt), 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(canary_dir, "gt.png"))
 
-        if epoch % opt.snapshots == 0:
+        if epoch % opt.snapshots == 0 and primary:
+            # replicated param/opt trees fetch whole on every process; only
+            # process 0 touches the filesystem and runs in-loop eval
             ckpt = save_checkpoint(f"./weights/train/epoch_{epoch}.npz", params, opt_state, epoch)
-            print(f"Checkpoint saved to {ckpt}")
+            log(f"Checkpoint saved to {ckpt}")
             if val_set is not None:
                 gates = gates_for_dataset(
                     lol=opt.lol_v1, v2=opt.lolv2_real, lmot=opt.lmot, alpha=0.8
                 )
-                ev = Evaluator({k: v for k, v in params.items()}, model_cfg, gates,
+                # host copies: the evaluator's single-device jit cannot take
+                # global (multi-process) arrays on process 0 alone
+                eval_params = (
+                    jax.tree.map(np.asarray, params) if multiproc
+                    else {k: v for k, v in params.items()}
+                )
+                ev = Evaluator(eval_params, model_cfg, gates,
                                compute_dtype=jnp.dtype(opt.compute_dtype))
                 out_dir = os.path.join(opt.val_folder, out_folder)
                 ev.run_dataset(val_set, out_dir)
                 avg_psnr, avg_ssim, avg_lpips = metrics(os.path.join(out_dir, "*.png"), gt_dir)
-                print(f"===> Avg.PSNR: {avg_psnr:.4f} dB  SSIM: {avg_ssim:.4f}  LPIPS: {fmt_metric(avg_lpips)}")
+                log(f"===> Avg.PSNR: {avg_psnr:.4f} dB  SSIM: {avg_ssim:.4f}  LPIPS: {fmt_metric(avg_lpips)}")
                 psnrs.append(avg_psnr)
                 ssims.append(avg_ssim)
                 lpipss.append(avg_lpips)
 
-    # final markdown report (train.py:276-290)
+    # final markdown report (train.py:276-290); process 0 only
+    if not primary:
+        return
     report_dir = os.path.join(opt.val_folder, "training")
     os.makedirs(report_dir, exist_ok=True)
     now = datetime.now().strftime("%Y-%m-%d-%H%M%S")

@@ -128,6 +128,22 @@ def option() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=-1, help="-1 = random (reference behavior)")
     p.add_argument("--synthetic_steps", type=int, default=0,
                    help=">0: train on synthetic data for N steps/epoch (smoke mode)")
+
+    # ---- multi-host (pod) launch (SURVEY §2.3 item 2, §5.8; no reference
+    # twin — the reference is single-GPU, train.py:34) ----
+    p.add_argument("--multihost", type=str2bool, default=False,
+                   help="run jax.distributed.initialize before building the "
+                        "mesh (pod launch; one process per host). Processes "
+                        "with process_count>1 automatically use the process-"
+                        "sharded input feed, even without this flag, when the "
+                        "runtime was initialized externally")
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 (multihost; omit on TPU pods "
+                        "where the runtime autodetects)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="total process count (multihost; omit to autodetect)")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="this process's index (multihost; omit to autodetect)")
     return p
 
 
