@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Round-over-round perf tracking for the NON-headline graphs.
+
+bench.py tracks the headline (base-variant serving).  This sibling measures
+the other three first-class graphs in ONE chip window — same-window numbers
+are the only comparable kind on the tunneled chip (~10% drift between
+windows) — and writes them to ``BENCH_extra.json`` (one JSON object per
+line), so regressions in mssa/tnsm serving and the train step become visible
+round-over-round (VERDICT r3 weak #6).  Reference twins:
+``net/CIDNet_MSSA.py``, ``net/CIDNet_TNSM.py``, ``train.py:39-90`` (the
+LOLv2-real recipe = north-star train config: crop 256, batch 16, bf16).
+
+Each graph runs in a fresh child interpreter under bench.py's bounded retry
+loop (the same backend-outage resilience contract).
+
+Usage: python bench_extra.py [--out BENCH_extra.json]
+       python bench_extra.py --once --graph mssa     # child mode
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench import extract_result, retry_loop  # noqa: E402
+
+GRAPHS = ("base", "mssa", "tnsm", "train")
+H, W, BATCH, ITERS = 400, 600, 128, 8
+TRAIN_CROP, TRAIN_BATCH = 256, 16
+# north stars: serving vs the base-variant target (BASELINE.json); train vs
+# the round-3 measured 77 img/s (207 ms/step) as the regression baseline
+SERVE_TARGET = 1500.0
+TRAIN_BASELINE = 77.0
+
+
+def measure_serving(variant: str) -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
+
+    cfg = CIDNetConfig(variant=variant)
+    params = init_cidnet(jax.random.PRNGKey(0), cfg)
+    params = {k: (v.astype(jnp.bfloat16) if v.ndim == 4 else v) for k, v in params.items()}
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (BATCH, H, W, 3)), jnp.bfloat16)
+
+    def one(p, xx):
+        out = cidnet_forward(p, xx, cfg, compute_dtype=jnp.bfloat16)
+        if cfg.variant == "tnsm":
+            out = out[0]
+        return jnp.clip(out, 0, 1)
+
+    @jax.jit
+    def loop(p, xx):
+        def body(carry, _):
+            y = one(p, xx + carry * jnp.bfloat16(1e-6))
+            return jnp.mean(y).astype(jnp.bfloat16), None
+
+        final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=ITERS)
+        return final
+
+    _ = float(loop(params, x))  # compile + warmup
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(loop(params, x))
+        best = max(best, BATCH * ITERS / (time.perf_counter() - t0))
+    return {
+        "metric": f"600x400 images/sec/chip (bf16 {variant} serving)",
+        "value": round(best, 2),
+        "unit": "img/s",
+        "vs_baseline": round(best / SERVE_TARGET, 4),
+    }
+
+
+def measure_train() -> dict:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, init_cidnet
+    from hvi_cidnet_tpu.train.trainer import TrainConfig, composite_loss, make_optimizer
+
+    cfg = TrainConfig(
+        model=CIDNetConfig(variant="base"),
+        use_perceptual=False,
+        compute_dtype="bfloat16",
+    )
+    params = init_cidnet(jax.random.PRNGKey(0), cfg.model)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(0)
+    low = jnp.asarray(rng.uniform(0, 0.3, (TRAIN_BATCH, TRAIN_CROP, TRAIN_CROP, 3)), jnp.float32)
+    high = jnp.asarray(rng.uniform(0.4, 1.0, (TRAIN_BATCH, TRAIN_CROP, TRAIN_CROP, 3)), jnp.float32)
+    gamma = jnp.float32(1.0)
+
+    @jax.jit
+    def loop(params, opt_state, low, high):
+        def body(carry, _):
+            p, s, shift = carry
+            (loss, aux), grads = jax.value_and_grad(composite_loss, has_aux=True)(
+                p, low + shift, high, gamma, None, cfg
+            )
+            updates, s = optimizer.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s, loss.astype(jnp.float32) * 1e-9), None
+
+        (p, s, shift), _ = jax.lax.scan(
+            body, (params, opt_state, jnp.float32(0.0)), None, length=ITERS
+        )
+        return shift
+
+    _ = float(loop(params, opt_state, low, high))  # compile + warmup
+    best = 0.0
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(loop(params, opt_state, low, high))
+        best = max(best, TRAIN_BATCH * ITERS / (time.perf_counter() - t0))
+    return {
+        "metric": "256x256 images/sec/chip (bf16 train step, batch 16, north-star config 4)",
+        "value": round(best, 2),
+        "unit": "img/s",
+        "vs_baseline": round(best / TRAIN_BASELINE, 4),
+    }
+
+
+def measure(graph: str) -> dict:
+    return measure_train() if graph == "train" else measure_serving(graph)
+
+
+def run_child(graph: str, timeout: float):
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--once", "--graph", graph],
+            capture_output=True, text=True, timeout=timeout,
+        )
+        return proc.returncode, proc.stdout, proc.stderr
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+        return -1, out, f"attempt timed out after {timeout:.0f}s"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--graph", choices=GRAPHS, default="base")
+    ap.add_argument("--out", default="BENCH_extra.json")
+    args = ap.parse_args()
+    if args.once:
+        print(json.dumps(measure(args.graph)))
+        return
+    budget = float(os.environ.get("BENCH_RETRY_SECONDS", "600"))
+    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
+    results = []
+    for graph in GRAPHS:
+        result = retry_loop(lambda g=graph: run_child(g, timeout), budget)
+        results.append(result)
+        print(json.dumps(result), flush=True)
+    with open(args.out, "w") as f:
+        for r in results:
+            f.write(json.dumps(r) + "\n")
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
