@@ -31,8 +31,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench import extract_result, retry_loop  # noqa: E402
 
 GRAPHS = ("base", "mssa", "tnsm", "train")
-H, W, BATCH, ITERS = 400, 600, 128, 8
-TRAIN_CROP, TRAIN_BATCH = 256, 16
+# same geometry-override knobs as bench.py (and tiny-CPU smoke tests)
+H = int(os.environ.get("BENCH_H", "400"))
+W = int(os.environ.get("BENCH_W", "600"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
+ITERS = int(os.environ.get("BENCH_ITERS", "8"))
+TRAIN_CROP = int(os.environ.get("BENCH_TRAIN_CROP", "256"))
+TRAIN_BATCH = int(os.environ.get("BENCH_TRAIN_BATCH", "16"))
 # north stars: serving vs the base-variant target (BASELINE.json); train vs
 # the round-3 measured 77 img/s (207 ms/step) as the regression baseline
 SERVE_TARGET = 1500.0

@@ -115,3 +115,28 @@ def test_bench_extra_parent_writes_artifact(tmp_path, monkeypatch):
     for l in lines:
         obj = json.loads(l)
         assert set(obj) == {"metric", "value", "unit", "vs_baseline"}
+
+
+@pytest.mark.heavy
+def test_bench_extra_measure_runs_tiny(monkeypatch):
+    """measure() executes for real (tiny CPU geometry) and emits the
+    artifact schema — guards the measurement code itself, not just the
+    parent plumbing."""
+    import importlib
+
+    for k, v in [("BENCH_H", "40"), ("BENCH_W", "48"), ("BENCH_BATCH", "2"),
+                 ("BENCH_ITERS", "2"), ("BENCH_TRAIN_CROP", "32"),
+                 ("BENCH_TRAIN_BATCH", "2")]:
+        monkeypatch.setenv(k, v)
+    import bench_extra
+    importlib.reload(bench_extra)
+    try:
+        for graph in ("base", "train"):
+            r = bench_extra.measure(graph)
+            assert set(r) == {"metric", "value", "unit", "vs_baseline"}
+            assert r["value"] > 0
+    finally:
+        for k in ("BENCH_H", "BENCH_W", "BENCH_BATCH", "BENCH_ITERS",
+                  "BENCH_TRAIN_CROP", "BENCH_TRAIN_BATCH"):
+            monkeypatch.delenv(k)
+        importlib.reload(bench_extra)
