@@ -34,12 +34,13 @@ TARGET = 1500.0  # img/s, driver-set north star
 H, W = 400, 600  # LOL eval images are 600x400 (WxH); both already x8-divisible
 
 # Failure signatures worth retrying: transient backend/tunnel outages.  A
-# genuine code bug (ImportError, shape error, ...) fails fast instead of
-# burning the retry budget.
+# genuine code bug (ImportError, shape error, ...) — or a deterministic
+# RESOURCE_EXHAUSTED from an oversized BENCH_BATCH (an HBM OOM repeats
+# identically every attempt) — fails fast instead of burning the budget.
 RETRYABLE = re.compile(
     r"(?i)unable to initialize backend|unavailable|deadline[_ ]exceeded"
-    r"|connection|connect failed|socket|tunnel|timed?[ _]?out|backend setup"
-    r"|resource[_ ]exhausted|heartbeat|rpc"
+    r"|connection (refused|reset|aborted|failed)|connect failed|socket"
+    r"|tunnel|timed?[ _]?out|backend setup|heartbeat|rpc (error|failed)"
 )
 
 
@@ -134,27 +135,39 @@ def extract_result(stdout: str) -> dict | None:
     return None
 
 
-def run_attempt(timeout: float) -> tuple[int, str, str]:
-    """One measurement attempt in a fresh interpreter."""
+def run_attempt(timeout: float, *, script: str = None, extra: list = None) -> tuple[int, str, str]:
+    """One measurement attempt in a fresh interpreter.
+
+    ``script``/``extra`` let siblings (bench_extra.py) reuse the same
+    subprocess/timeout handling for their own child modes.
+    """
+    argv = [sys.executable, script or os.path.abspath(__file__), "--once"] + (extra or [])
     try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--once"],
-            capture_output=True,
-            text=True,
-            timeout=timeout,
-        )
+        proc = subprocess.run(argv, capture_output=True, text=True, timeout=timeout)
         return proc.returncode, proc.stdout, proc.stderr
     except subprocess.TimeoutExpired as e:
         out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
         return -1, out, f"attempt timed out after {timeout:.0f}s"
 
 
-def retry_loop(attempt, budget: float, *, base_delay: float = 5.0, max_delay: float = 60.0):
+METRIC = "600x400 images/sec/chip (bf16 CIDNet inference)"
+
+
+def retry_loop(
+    attempt,
+    budget: float,
+    *,
+    base_delay: float = 5.0,
+    max_delay: float = 60.0,
+    metric: str = METRIC,
+):
     """Bounded-retry driver around ``attempt() -> (rc, stdout, stderr)``.
 
     Returns the success result dict, or raises SystemExit after printing a
-    structured error line.  Separated from main() so the outage test can
-    drive it with an injected attempt function too.
+    structured error line labeled with ``metric`` (callers measuring other
+    graphs pass their own label so failures aren't misattributed).
+    Separated from main() so the outage test can drive it with an injected
+    attempt function too.
     """
     deadline = time.monotonic() + budget
     delay = base_delay
@@ -180,7 +193,7 @@ def retry_loop(attempt, budget: float, *, base_delay: float = 5.0, max_delay: fl
             print(
                 json.dumps(
                     {
-                        "metric": "600x400 images/sec/chip (bf16 CIDNet inference)",
+                        "metric": metric,
                         "error": last_err[-2000:],
                         "attempts": attempts,
                         "retryable": retryable,

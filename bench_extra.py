@@ -22,13 +22,12 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bench import extract_result, retry_loop  # noqa: E402
+from bench import retry_loop, run_attempt  # noqa: E402
 
 GRAPHS = ("base", "mssa", "tnsm", "train")
 # same geometry-override knobs as bench.py (and tiny-CPU smoke tests)
@@ -142,15 +141,10 @@ def measure(graph: str) -> dict:
 
 
 def run_child(graph: str, timeout: float):
-    try:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--once", "--graph", graph],
-            capture_output=True, text=True, timeout=timeout,
-        )
-        return proc.returncode, proc.stdout, proc.stderr
-    except subprocess.TimeoutExpired as e:
-        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-        return -1, out, f"attempt timed out after {timeout:.0f}s"
+    """One child attempt, sharing bench.py's subprocess/timeout handling."""
+    return run_attempt(
+        timeout, script=os.path.abspath(__file__), extra=["--graph", graph]
+    )
 
 
 def main() -> None:
@@ -164,15 +158,27 @@ def main() -> None:
         return
     budget = float(os.environ.get("BENCH_RETRY_SECONDS", "600"))
     timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
-    results = []
+    results, failed = [], 0
     for graph in GRAPHS:
-        result = retry_loop(lambda g=graph: run_child(g, timeout), budget)
+        # one failed graph must not discard the window's other measurements
+        # (the artifact-lost failure mode this file exists to prevent):
+        # retry_loop prints its structured error line and raises; catch,
+        # record the failure in the artifact, continue with the next graph
+        try:
+            result = retry_loop(
+                lambda g=graph: run_child(g, timeout), budget, metric=f"graph:{graph}"
+            )
+        except SystemExit:
+            failed += 1
+            result = {"metric": f"graph:{graph}", "error": "measurement failed"}
         results.append(result)
         print(json.dumps(result), flush=True)
     with open(args.out, "w") as f:
         for r in results:
             f.write(json.dumps(r) + "\n")
-    print(f"wrote {args.out}", file=sys.stderr)
+    print(f"wrote {args.out} ({failed} of {len(GRAPHS)} graphs failed)", file=sys.stderr)
+    if failed:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

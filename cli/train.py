@@ -182,9 +182,26 @@ def main():
     start_epoch = 0
     if opt.start_epoch > 0:
         path = f"./weights/train/epoch_{opt.start_epoch}.npz"
-        params, opt_state_loaded, _ = load_checkpoint(path, opt_state_template=opt_state)
-        if opt_state_loaded is not None:
-            opt_state = opt_state_loaded
+        if multiproc:
+            # checkpoints are written by process 0 only; other hosts may not
+            # see the file (no shared FS) or may hold a stale one — load on
+            # process 0 and broadcast, so every replica provably resumes
+            # from the same bytes
+            from jax.experimental import multihost_utils
+
+            if primary:
+                params_l, opt_l, _ = load_checkpoint(path, opt_state_template=opt_state)
+                if opt_l is None:
+                    opt_l = opt_state
+            else:
+                params_l, opt_l = params, opt_state  # structure/shape donors
+            params, opt_state = multihost_utils.broadcast_one_to_all(
+                (params_l, opt_l), is_source=primary
+            )
+        else:
+            params, opt_state_loaded, _ = load_checkpoint(path, opt_state_template=opt_state)
+            if opt_state_loaded is not None:
+                opt_state = opt_state_loaded
         start_epoch = opt.start_epoch
         log(f"resumed from {path}")
 

@@ -101,14 +101,30 @@ def arm_b_bcn(q, k, v, temp_per_c, wp, heads):
 
 
 def arm_c_ncb(q, k, v, temp_per_c, wp, heads):
-    """Flattened-spatial presentation: HWCB -> (N, C, B) is layout-free."""
+    """Flattened-spatial presentation: HWCB -> (N, C, B) is layout-free.
+
+    The q/k norms reduce the (N, C, B) operands over axis 0 directly — NO
+    batch-major transposes anywhere in this arm (an earlier draft fed the
+    shared norm helper via (B,C,N) copies, which are exactly the relayouts
+    under measurement and would have biased the A/B against this arm).
+    """
     h, w, c, b = q.shape
+    cp = c // heads
     fl = lambda t: t.reshape(h * w, c, b)
     qf, kf, vf = fl(q), fl(k), fl(v)
     s = jnp.einsum("ncb,ndb->bcd", qf, kf, preferred_element_type=f32)
-    qb = jnp.transpose(q, (3, 2, 0, 1)).reshape(b, c, h * w)
-    kb = jnp.transpose(k, (3, 2, 0, 1)).reshape(b, c, h * w)
-    a = _scores_mask_softmax(s, qb, kb, temp_per_c, heads)
+
+    def _inv_norm(t):  # (N, C, B) -> (B, C), transpose-free reduction
+        sq = jnp.sum(jnp.square(t.astype(f32)), axis=0)
+        return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
+
+    s = s * _inv_norm(qf)[:, :, None] * _inv_norm(kf)[:, None, :]
+    s = s * temp_per_c[None, :, None]
+    if heads > 1:
+        head_id = np.arange(c) // cp
+        block = jnp.asarray(head_id[:, None] == head_id[None, :])
+        s = jnp.where(block[None], s, -jnp.inf)
+    a = jax.nn.softmax(s, axis=-1)
     a = jnp.einsum("co,bcd->bod", wp, a)
     return jnp.einsum("bcd,ndb->ncb", a.astype(vf.dtype), vf).reshape(h, w, c, b)
 

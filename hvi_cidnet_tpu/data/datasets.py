@@ -62,13 +62,25 @@ def list_images(folder: str) -> List[str]:
 
 
 def image_size(path: str) -> Tuple[int, int]:
-    """(h, w) from the image header — PIL reads metadata lazily, no pixel
-    decode, so eval bucket planning over a full-res SID/LOL-Blur set costs
-    KBs, not GBs (VERDICT r3 weak #3)."""
+    """Decoded (h, w) from the image header — PIL reads metadata lazily, no
+    pixel decode, so eval bucket planning over a full-res SID/LOL-Blur set
+    costs KBs, not GBs (VERDICT r3 weak #3).
+
+    EXIF orientation is honored: ``load_image``'s cv2 path auto-rotates
+    (cv2.imread default), so orientations 5-8 (90/270-degree transposes)
+    must swap the header's (w, h) or bucket planning would disagree with
+    the decoded shape and the pad step would see negative amounts.
+    """
     from PIL import Image
 
     with Image.open(path) as im:
         w, h = im.size
+        try:
+            orientation = im.getexif().get(0x0112, 1)
+        except Exception:
+            orientation = 1
+    if orientation in (5, 6, 7, 8):
+        w, h = h, w
     return h, w
 
 

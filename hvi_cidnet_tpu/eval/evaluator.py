@@ -132,7 +132,9 @@ class Evaluator:
             sizes = dataset.sizes()  # headers only, no pixel decode
         else:
             # generic datasets: probe shapes one item at a time (each decoded
-            # image is dropped immediately — memory stays one-image bounded)
+            # image is dropped immediately — memory stays one-image bounded,
+            # but every item is decoded twice per run).  Implement sizes()
+            # (header-only, like EvalDataset) to avoid the probe pass.
             sizes = []
             for i in range(len(dataset)):
                 item = dataset[i]
@@ -161,6 +163,14 @@ class Evaluator:
                     else:
                         img, name = item
                         h, w = img.shape[:2]
+                    if img.shape[0] > bh or img.shape[1] > bw:
+                        raise ValueError(
+                            f"{name}: decoded shape {img.shape[:2]} exceeds "
+                            f"its planned bucket {(bh, bw)} — the header-"
+                            "based size probe disagreed with the decoder "
+                            "(rotating EXIF orientation? custom dataset "
+                            "whose sizes() ignores its own transforms?)"
+                        )
                     chunk.append((img, name, h, w))
                 stacked = np.stack([_pad_to(im, bh, bw) for im, _, _, _ in chunk])
                 if self.max_programs is not None and len(chunk) < batch_size:

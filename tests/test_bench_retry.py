@@ -140,3 +140,30 @@ def test_bench_extra_measure_runs_tiny(monkeypatch):
                   "BENCH_TRAIN_CROP", "BENCH_TRAIN_BATCH"):
             monkeypatch.delenv(k)
         importlib.reload(bench_extra)
+
+
+def test_bench_extra_survives_one_failed_graph(tmp_path, monkeypatch):
+    """A terminally-failing graph must not discard the window's other
+    measurements: the artifact still carries every graph (error entry for
+    the failed one) and the process exits nonzero."""
+    import importlib
+
+    import bench_extra
+    importlib.reload(bench_extra)
+
+    def fake_child(graph, timeout):
+        if graph == "tnsm":
+            return 1, "", "ImportError: broken graph"  # non-retryable
+        return 0, json.dumps(
+            {"metric": f"g:{graph}", "value": 1.0, "unit": "img/s", "vs_baseline": 0.1}
+        ), ""
+
+    monkeypatch.setattr(bench_extra, "run_child", fake_child)
+    out = tmp_path / "BENCH_extra.json"
+    monkeypatch.setattr(sys, "argv", ["bench_extra.py", "--out", str(out)])
+    with pytest.raises(SystemExit):
+        bench_extra.main()
+    lines = [json.loads(l) for l in out.read_text().strip().splitlines()]
+    assert len(lines) == 4
+    assert [l["metric"] for l in lines] == ["g:base", "g:mssa", "graph:tnsm", "g:train"]
+    assert "error" in lines[2]

@@ -259,3 +259,20 @@ def test_loader_resamples_dataset_smaller_than_batch(tmp_path):
     assert glow.shape == (8, 16, 16, 3) and ghigh.shape == (8, 16, 16, 3)
     assert glow.sharding.spec == P("data")
     multi.close()
+
+
+def test_image_size_honors_exif_orientation(tmp_path):
+    """cv2's decoder auto-rotates EXIF orientations; the header-only size
+    probe must predict the DECODED shape or streaming-eval bucket planning
+    crashes on rotated phone JPEGs (code-review r4 finding)."""
+    from PIL import Image as PILImage
+
+    from hvi_cidnet_tpu.data.datasets import image_size, load_image
+
+    rng = np.random.default_rng(3)
+    img = PILImage.fromarray(rng.integers(0, 255, (40, 56, 3)).astype(np.uint8))
+    ex = PILImage.Exif()
+    ex[0x0112] = 6  # 90-degree rotation: decoded shape transposes
+    p = tmp_path / "rot.jpg"
+    img.save(p, exif=ex)
+    assert image_size(str(p)) == load_image(str(p)).shape[:2] == (56, 40)
