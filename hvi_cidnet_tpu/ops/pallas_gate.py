@@ -75,9 +75,11 @@ def force_interpret() -> bool:
 #   iel_pallas      IEL_USE_PALLAS=0  148 vs 230 img/s end-to-end
 #   ln_stats_conv   LN_STATS_CONV=0   LN moments via C->1 ones-convs (MXU)
 #
-# Caveat: flags are read at TRACE time — flipping one does not invalidate
-# already-compiled jit caches.  Set flags before the first trace (or clear
-# the function's cache) exactly as with the env vars.
+# Flags are read at TRACE time; ``set_kernel_flag``/``kernel_flags`` clear
+# the jit caches whenever a flip changes a flag's effective value, so
+# already-compiled programs cannot silently keep serving the old arm
+# (ADVICE r3).  Env-var changes after the first trace are still invisible —
+# set env vars before process start, use the API for in-process flips.
 _FLAG_DEFAULTS = {
     "hvi_pallas": ("HVI_USE_PALLAS", True),
     "resize_pallas": ("RESIZE_USE_PALLAS", True),
@@ -108,13 +110,23 @@ def kernel_flag(name: str) -> bool:
 
 
 def set_kernel_flag(name: str, value) -> None:
-    """Set (True/False) or clear (None) an explicit seam override."""
+    """Set (True/False) or clear (None) an explicit seam override.
+
+    If the flip changes the flag's effective value, every jit cache is
+    cleared: gates are consulted at trace time, so a cached program would
+    otherwise keep executing the old arm forever.
+    """
     if name not in _FLAG_DEFAULTS:
         raise KeyError(f"unknown kernel flag {name!r}; known: {sorted(_FLAG_DEFAULTS)}")
+    before = kernel_flag(name)
     if value is None:
         _flag_overrides.pop(name, None)
     else:
         _flag_overrides[name] = bool(value)
+    if kernel_flag(name) != before:
+        import jax
+
+        jax.clear_caches()
 
 
 @contextlib.contextmanager
@@ -126,6 +138,10 @@ def kernel_flags(**flags):
             set_kernel_flag(k, v)
         yield
     finally:
+        # restore through set_kernel_flag so a value that actually changes
+        # on exit also invalidates the jit caches
+        for k in flags:
+            set_kernel_flag(k, saved.get(k))
         _flag_overrides.clear()
         _flag_overrides.update(saved)
 

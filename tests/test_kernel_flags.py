@@ -116,3 +116,43 @@ def test_ln_stats_conv_flag_changes_emitted_ops():
         off = str(jax.make_jaxpr(lambda a, c, d: layer_norm_channels(a, c, d))(x, w, b))
     assert "conv_general_dilated" in on
     assert "conv_general_dilated" not in off
+
+
+def test_flag_flip_invalidates_jit_caches():
+    """ADVICE r3: gates are read at trace time; a flip that changes the
+    effective value must clear jit caches so cached programs cannot keep
+    serving the old arm."""
+    traces = {"n": 0}
+
+    @jax.jit
+    def f(x):
+        traces["n"] += 1
+        return x + (1.0 if kernel_flag("attn_pallas") else 0.0)
+
+    x = jnp.zeros(())
+    assert float(f(x)) == 0.0 and traces["n"] == 1
+    _ = f(x)
+    assert traces["n"] == 1  # cached
+    set_kernel_flag("attn_pallas", True)
+    try:
+        assert float(f(x)) == 1.0 and traces["n"] == 2  # retraced, new arm
+        set_kernel_flag("attn_pallas", True)  # no-op flip: cache survives
+        _ = f(x)
+        assert traces["n"] == 2
+    finally:
+        set_kernel_flag("attn_pallas", None)
+    assert float(f(x)) == 0.0 and traces["n"] == 3  # restored arm retraces
+
+
+def test_kernel_flags_scope_exit_invalidates_caches():
+    traces = {"n": 0}
+
+    @jax.jit
+    def f(x):
+        traces["n"] += 1
+        return x + (1.0 if kernel_flag("ln_pallas") else 0.0)
+
+    x = jnp.zeros(())
+    with kernel_flags(ln_pallas=True):
+        assert float(f(x)) == 1.0 and traces["n"] == 1
+    assert float(f(x)) == 0.0 and traces["n"] == 2  # exit flipped back
