@@ -129,3 +129,76 @@ def test_multihost_requires_explicit_seed(tmp_path):
     for rc, out, err in outs:
         assert rc != 0
         assert "requires an explicit --seed" in err, out + err
+
+
+def _launch_pod(tmp_path, extra_args, n_proc=2, n_local=4):
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "cli", "train.py"), *extra_args,
+             "--multihost", "true",
+             "--coordinator_address", f"127.0.0.1:{port}",
+             "--num_processes", str(n_proc), "--process_id", str(pid)],
+            cwd=tmp_path, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=_env(n_local),
+        )
+        for pid in range(n_proc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return outs
+
+
+def test_multihost_resume_broadcasts_checkpoint(tmp_path):
+    """Resume in a pod must work when only process 0 can read the
+    checkpoint: the file is loaded once and broadcast (code-review r4
+    finding — per-host disks would otherwise FileNotFoundError or silently
+    resume divergent replicas)."""
+    args = [a for a in TRAIN_ARGS if True]
+    # leg 1: one epoch, checkpoint it (process 0 writes ./weights/train)
+    leg1 = [*args]
+    leg1[leg1.index("--nEpochs") + 1] = "1"
+    leg1[leg1.index("--snapshots") + 1] = "1"
+    outs = _launch_pod(tmp_path, [*leg1, "--val_folder", str(tmp_path / "m1")])
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+    ckpt = tmp_path / "weights" / "train" / "epoch_1.npz"
+    assert ckpt.exists()
+
+    # leg 2: resume from it in a FRESH pod; hide the file from process 1 by
+    # running it in a different cwd (simulates per-host disks)
+    resume = [*leg1, "--start_epoch", "1", "--val_folder", str(tmp_path / "m2")]
+    port = _free_port()
+    cwds = [tmp_path, tmp_path / "host1"]
+    os.makedirs(cwds[1], exist_ok=True)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "cli", "train.py"), *resume,
+             "--multihost", "true",
+             "--coordinator_address", f"127.0.0.1:{port}",
+             "--num_processes", "2", "--process_id", str(pid)],
+            cwd=cwds[pid], stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            text=True, env=_env(4),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=900)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, out + err
+    assert "resumed from" in outs[0][1]
+    assert len(_losses(outs[0][1])) == 1  # one more epoch ran
