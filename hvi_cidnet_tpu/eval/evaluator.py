@@ -152,43 +152,73 @@ class Evaluator:
                 f"eval buckets: {len(buckets)} XLA program shape(s), "
                 f"pad quantum {quantum}"
             )
-        n = 0
+        work = []  # (bh, bw, [item indices]) chunk jobs, bucket order
         for (bh, bw), idxs in buckets.items():
             for start in range(0, len(idxs), batch_size):
-                chunk = []  # lazy decode: only this chunk is resident
-                for i in idxs[start : start + batch_size]:
-                    item = dataset[i]
-                    if len(item) == 4:
-                        img, name, h, w = item
-                    else:
-                        img, name = item
-                        h, w = img.shape[:2]
-                    if img.shape[0] > bh or img.shape[1] > bw:
-                        raise ValueError(
-                            f"{name}: decoded shape {img.shape[:2]} exceeds "
-                            f"its planned bucket {(bh, bw)} — the header-"
-                            "based size probe disagreed with the decoder "
-                            "(rotating EXIF orientation? custom dataset "
-                            "whose sizes() ignores its own transforms?)"
-                        )
-                    chunk.append((img, name, h, w))
-                stacked = np.stack([_pad_to(im, bh, bw) for im, _, _, _ in chunk])
-                if self.max_programs is not None and len(chunk) < batch_size:
-                    # short tail chunk would compile an extra program at a new
-                    # batch dim; repeat the last row (outputs discarded below)
-                    reps = np.repeat(stacked[-1:], batch_size - len(chunk), axis=0)
-                    stacked = np.concatenate([stacked, reps], axis=0)
-                outs = self.enhance_batch(stacked)
-                for (im, name, h, w), out in zip(chunk, outs):
-                    # quantize exactly like torchvision ToPILImage's
-                    # ``mul(255).byte()`` truncation (eval.py:74) so released-
-                    # checkpoint metric parity holds bit-for-bit
-                    Image.fromarray((out[:h, :w] * 255.0).astype(np.uint8)).save(
-                        os.path.join(output_folder, name)
+                work.append((bh, bw, idxs[start : start + batch_size]))
+
+        def decode_chunk(job):
+            bh, bw, ids = job
+            chunk = []
+            for i in ids:
+                item = dataset[i]
+                if len(item) == 4:
+                    img, name, h, w = item
+                else:
+                    img, name = item
+                    h, w = img.shape[:2]
+                if img.shape[0] > bh or img.shape[1] > bw:
+                    raise ValueError(
+                        f"{name}: decoded shape {img.shape[:2]} exceeds its "
+                        f"planned bucket {(bh, bw)} — the header-based size "
+                        "probe disagreed with the decoder (rotating EXIF "
+                        "orientation? custom dataset whose sizes() ignores "
+                        "its own transforms?)"
                     )
-                    n += 1
-                if verbose and n % 50 == 0:
+                chunk.append((img, name, h, w))
+            stacked = np.stack([_pad_to(im, bh, bw) for im, _, _, _ in chunk])
+            if self.max_programs is not None and len(chunk) < batch_size:
+                # short tail chunk would compile an extra program at a new
+                # batch dim; repeat the last row (outputs discarded below)
+                reps = np.repeat(stacked[-1:], batch_size - len(chunk), axis=0)
+                stacked = np.concatenate([stacked, reps], axis=0)
+            return chunk, stacked
+
+        def save_png(out, h, w, name):
+            # quantize exactly like torchvision ToPILImage's
+            # ``mul(255).byte()`` truncation (eval.py:74) so released-
+            # checkpoint metric parity holds bit-for-bit
+            Image.fromarray((out[:h, :w] * 255.0).astype(np.uint8)).save(
+                os.path.join(output_folder, name)
+            )
+
+        # pipelined host loop: chunk j+1 decodes and chunk j-1's PNGs encode
+        # while chunk j runs on the device.  Memory stays bounded at two
+        # decoded chunks + two output batches; write errors surface via the
+        # drained futures.
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = 0
+        with ThreadPoolExecutor(max_workers=1) as dec, ThreadPoolExecutor(
+            max_workers=2
+        ) as wr:
+            pending = []
+            nxt = dec.submit(decode_chunk, work[0]) if work else None
+            for j in range(len(work)):
+                chunk, stacked = nxt.result()
+                nxt = dec.submit(decode_chunk, work[j + 1]) if j + 1 < len(work) else None
+                outs = self.enhance_batch(stacked)
+                for f in pending:  # previous chunk's writes (overlapped)
+                    f.result()
+                pending = [
+                    wr.submit(save_png, out, h, w, name)
+                    for (_, name, h, w), out in zip(chunk, outs)
+                ]
+                n += len(chunk)
+                if verbose and (n % 50 < len(chunk) and n >= 50 or n == len(dataset)):
                     print(f"  {n}/{len(dataset)}")
+            for f in pending:
+                f.result()
         return n
 
 
