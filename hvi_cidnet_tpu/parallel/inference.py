@@ -14,6 +14,9 @@ scaling paths:
   automatically.  Because GSPMD owns this program, ``use_pallas=False`` is
   passed through the forward — no Mosaic kernel ever lands in a
   GSPMD-partitioned trace (see ops/pallas_gate.py for the full contract).
+* ``dp_spatial_enhance_fn`` — the composition on one 2-D mesh: batch over
+  ``data`` and each image's rows over ``spatial`` (full-res pod serving:
+  e.g. 4 frames at a time, each split across 2 chips).
 
 Both return the SAME numbers as single-chip execution (mesh tests assert
 bitwise-close equality, with kernels force-enabled in interpret mode).
@@ -68,6 +71,55 @@ def dp_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: f
         return mapped(params, x)
 
     return fn, batch_sharding, replicated
+
+
+def dp_spatial_enhance_fn(
+    mesh: Mesh,
+    config: CIDNetConfig,
+    gates: HVIGates,
+    *,
+    gamma: float = 1.0,
+    compute_dtype=jnp.float32,
+    batch_axis: str = "data",
+    row_axis: str = "spatial",
+):
+    """Jitted forward over a 2-D (data x spatial) mesh: batch split over
+    ``batch_axis`` AND each image's rows split over ``row_axis``.
+
+    The scale composition for full-res pod serving (SURVEY §5.7 + §2.3): a
+    host's 8 chips can serve e.g. 4 images at a time with each 1280x720
+    frame split across 2 chips.  GSPMD owns the partitioning (halo
+    exchanges for the 3x3 convs/resizes ride ICI), so Mosaic kernels are
+    excluded from this trace like ``spatial_enhance_fn``.  H pads to
+    8 * row-shards inside the program and crops back (same contract).
+    """
+    n_batch = mesh.shape[batch_axis]
+    n_row = mesh.shape[row_axis]
+    sharding = NamedSharding(mesh, P(batch_axis, row_axis))
+    replicated = NamedSharding(mesh, P())
+
+    @partial(jax.jit, in_shardings=(replicated, sharding), out_shardings=sharding)
+    def fn(params, x):
+        if x.shape[0] % n_batch:
+            raise ValueError(
+                f"global batch {x.shape[0]} must be divisible by the "
+                f"{n_batch}-way {batch_axis!r} axis for dp_spatial_enhance_fn"
+            )
+        h, w = x.shape[1], x.shape[2]
+        mh = 8 * n_row
+        ph = (mh - h % mh) % mh
+        pw = (8 - w % 8) % 8
+        if ph or pw:
+            mode = "reflect" if ph < h and pw < w else "edge"
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode=mode)
+        y = jnp.power(x, gamma) if gamma != 1.0 else x
+        out = cidnet_forward(params, y, config, gates, compute_dtype=compute_dtype, use_pallas=False)
+        if config.variant == "tnsm":
+            out = out[0]
+        out = out[:, :h, :w]
+        return jnp.clip(out.astype(jnp.float32), 0.0, 1.0)
+
+    return fn, sharding, replicated
 
 
 def spatial_enhance_fn(mesh: Mesh, config: CIDNetConfig, gates: HVIGates, *, gamma: float = 1.0, compute_dtype=jnp.float32, axis: Optional[str] = None):

@@ -129,3 +129,40 @@ def test_spatial_full_res_720_pads_to_768(mesh):
     out = fn(jax.device_put(params, rep), jax.device_put(img, rs))
     assert out.shape == (1, 720, 1280, 3)
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_dp_spatial_2d_mesh_matches_single_device(shape):
+    """Composed scaling: batch over 'data' AND image rows over 'spatial' on
+    one 2-D mesh — per-device work is a fraction of both axes, outputs equal
+    the single-device forward (halo exchange + batch split by GSPMD)."""
+    from hvi_cidnet_tpu.parallel.inference import dp_spatial_enhance_fn
+
+    mesh2 = make_mesh(shape=shape, axis_names=("data", "spatial"))
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    rng = np.random.default_rng(1)
+    # H=40: divisible by 8 but NOT by 8*spatial -> exercises pad-to-mesh.
+    # The single-device reference must apply the SAME pad: padding is
+    # globally visible through channel attention, so pad-then-crop is a
+    # different function than the unpadded forward (same contract as
+    # test_spatial_full_res_720_pads_to_768).
+    batch = jnp.asarray(rng.uniform(0, 1, (4, 40, 48, 3)).astype(np.float32))
+    mh = 8 * shape[1]
+    ph = (mh - 40 % mh) % mh
+    ref = jnp.pad(batch, ((0, 0), (0, ph), (0, 0), (0, 0)), mode="reflect")
+    single = _single(params, ref, TINY)[:, :40]
+    fn, sh, rep = dp_spatial_enhance_fn(mesh2, TINY, HVIGates())
+    out = fn(jax.device_put(params, rep), jax.device_put(batch, sh))
+    assert out.shape == batch.shape
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-5)
+
+
+def test_dp_spatial_rejects_indivisible_batch():
+    from hvi_cidnet_tpu.parallel.inference import dp_spatial_enhance_fn
+
+    mesh2 = make_mesh(shape=(4, 2), axis_names=("data", "spatial"))
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    fn, sh, rep = dp_spatial_enhance_fn(mesh2, TINY, HVIGates())
+    batch = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (3, 16, 16, 3)), jnp.float32)
+    with pytest.raises(ValueError, match="divisible"):
+        fn(jax.device_put(params, rep), batch)
