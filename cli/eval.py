@@ -56,6 +56,11 @@ def parser() -> argparse.ArgumentParser:
                         "outputs inside the crop (channel attention sees the "
                         "padded pixels) and thus NIQE/BRISQUE scores slightly "
                         "— trade compile time for exactness deliberately")
+    p.add_argument("--dp", action="store_true",
+                   help="shard each eval batch over all addressable chips "
+                        "(data-parallel serving; same numbers as single-chip "
+                        "— shard_map per device, parallel/inference.py). "
+                        "No effect on a single device")
     return p
 
 
@@ -107,6 +112,17 @@ def main():
         alpha=alpha if alpha is not None else 1.0,
     )
     print(f"weights: {weights}\ngates: {gates}\noutput: {out}")
+    mesh = None
+    if ep.dp:
+        import jax
+
+        from hvi_cidnet_tpu.parallel.mesh import make_mesh
+
+        if jax.device_count() > 1:
+            mesh = make_mesh(axis_names=("data",))
+            print(f"dp serving: batch sharded over {mesh.devices.size} devices")
+        else:
+            print("dp serving: single device, flag is a no-op")
     ev = Evaluator(
         weights,
         CIDNetConfig(variant=ep.variant),
@@ -117,6 +133,7 @@ def main():
         # size sets; paired sets always keep the exact x8 pad (released-
         # checkpoint metric parity) regardless of the flag
         max_programs=ep.max_programs if (ep.unpaired or ep.custome) else None,
+        mesh=mesh,
     )
     n = ev.run_dataset(EvalDataset(eval_dir, pad=pad), out, batch_size=ep.eval_batch)
     print(f"===> End evaluation ({n} images)")

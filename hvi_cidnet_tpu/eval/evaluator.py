@@ -78,6 +78,7 @@ class Evaluator:
         compute_dtype=jnp.float32,
         bucket_factor: int = 8,
         max_programs: Optional[int] = None,
+        mesh=None,
     ):
         self.params = load_any(weights) if isinstance(weights, str) else weights
         self.config = config
@@ -87,6 +88,17 @@ class Evaluator:
         self.bucket_factor = bucket_factor
         self.max_programs = max_programs
         self._jit = jax.jit(self._forward)
+        # multi-chip serving: batches sharded over the mesh's data axis
+        # (shard_map per chip — same numbers as single-chip, see
+        # parallel/inference.py); tail chunks pad to mesh-divisible rows
+        self.mesh = mesh if (mesh is not None and mesh.devices.size > 1) else None
+        if self.mesh is not None:
+            from hvi_cidnet_tpu.parallel.inference import dp_enhance_fn
+
+            self._dp_fn, self._dp_sharding, rep = dp_enhance_fn(
+                self.mesh, config, gates, gamma=gamma, compute_dtype=compute_dtype
+            )
+            self.params = jax.device_put(self.params, rep)
 
     def _forward(self, params, x):
         x = jnp.power(x, self.gamma) if self.gamma != 1.0 else x  # eval.py:64
@@ -107,6 +119,16 @@ class Evaluator:
 
     def enhance_batch(self, imgs: np.ndarray) -> np.ndarray:
         """Enhance a stacked NHWC batch (same padded shape)."""
+        if self.mesh is not None:
+            n = imgs.shape[0]
+            pad = (-n) % self.mesh.devices.size
+            if pad:  # repeat rows to mesh-divisible; extras sliced off below
+                imgs = np.concatenate([imgs, np.repeat(imgs[-1:], pad, axis=0)])
+            out = self._dp_fn(
+                self.params,
+                jax.device_put(jnp.asarray(imgs, self.compute_dtype), self._dp_sharding),
+            )
+            return np.asarray(out)[:n]
         out = self._jit(self.params, jnp.asarray(imgs, self.compute_dtype))
         return np.asarray(out)
 
