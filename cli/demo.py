@@ -27,6 +27,15 @@ parser.add_argument("--cpu", action="store_true", help="run on CPU instead of TP
 parser.add_argument("--variant", type=str, default="base", choices=["base", "mssa", "tnsm"])
 parser.add_argument("--random_init", action="store_true",
                     help="run with fresh random weights (no weight file needed)")
+parser.add_argument("--spatial", action="store_true",
+                    help="shard the image's rows over all addressable chips "
+                         "(full-res multi-chip inference; halo exchange by "
+                         "XLA). Equals single-chip when H divides 8*chips; "
+                         "otherwise H pads to that multiple inside the "
+                         "program, which perturbs values slightly (padding "
+                         "is visible through channel attention — the same "
+                         "class of effect as the reference's own pad-to-x8)."
+                         " No effect on one device")
 args = parser.parse_args()
 
 if args.cpu:
@@ -51,11 +60,25 @@ else:
 
 # demo.py enables both gates (demo.py:32-33,41-42)
 gates = HVIGates(gated=True, gated2=True, alpha=args.alpha_i, alpha_s=args.alpha_s)
-ev = Evaluator(weights, cfg, gates, gamma=args.gamma)
 
 print(f"processing: {args.input}")
 img = np.asarray(Image.open(args.input).convert("RGB"), np.float32) / 255.0
-out = ev.enhance(img)
+
+if args.spatial and jax.device_count() > 1:
+    # rows sharded over the chips; pad-to-mesh + crop handled inside the jit
+    from hvi_cidnet_tpu.parallel.inference import spatial_enhance_fn
+    from hvi_cidnet_tpu.parallel.mesh import make_mesh
+    from hvi_cidnet_tpu.train.checkpoint import load_any
+
+    mesh = make_mesh(axis_names=("spatial",))
+    print(f"spatial serving: rows sharded over {mesh.devices.size} devices")
+    params = load_any(weights) if isinstance(weights, str) else weights
+    fn, rs, rep = spatial_enhance_fn(mesh, cfg, gates, gamma=args.gamma)
+    x = jax.device_put(jnp.asarray(img[None], jnp.float32), rs)
+    out = np.asarray(fn(jax.device_put(params, rep), x))[0]
+else:
+    ev = Evaluator(weights, cfg, gates, gamma=args.gamma)
+    out = ev.enhance(img)
 name = os.path.basename(args.input)
 out_path = os.path.join(args.output_dir, f"enhanced_{name}")
 Image.fromarray((np.clip(out, 0, 1) * 255.0).astype(np.uint8)).save(out_path)

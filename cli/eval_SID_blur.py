@@ -26,6 +26,9 @@ p.add_argument("--Blur", action="store_true")
 p.add_argument("--weights", type=str, default=None)
 p.add_argument("--variant", type=str, default="base", choices=["base", "mssa", "tnsm"])
 p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
+p.add_argument("--dp", action="store_true",
+               help="shard each batch over all addressable chips (same "
+                    "numbers as single-chip; no effect on one device)")
 ep = p.parse_args()
 
 if ep.Blur:
@@ -40,7 +43,17 @@ else:
 if ep.weights:
     weights = ep.weights
 
-ev = Evaluator(weights, CIDNetConfig(variant=ep.variant), HVIGates(), compute_dtype=jnp.dtype(ep.dtype))
+mesh = None
+if ep.dp:
+    import jax
+
+    from hvi_cidnet_tpu.parallel.mesh import make_mesh
+
+    if jax.device_count() > 1:
+        mesh = make_mesh(axis_names=("data",))
+        print(f"dp serving: batch sharded over {mesh.devices.size} devices")
+
+ev = Evaluator(weights, CIDNetConfig(variant=ep.variant), HVIGates(), compute_dtype=jnp.dtype(ep.dtype), mesh=mesh)
 os.makedirs(out_root, exist_ok=True)
 for scene in scenes:
     now_dir = os.path.join(test_dir, scene)
