@@ -140,14 +140,61 @@ def run_attempt(timeout: float, *, script: str = None, extra: list = None) -> tu
 
     ``script``/``extra`` let siblings (bench_extra.py) reuse the same
     subprocess/timeout handling for their own child modes.
+
+    Startup watchdog: the tunnel's sitecustomize hook dials the TPU during
+    *interpreter startup*; when the tunnel flaps, the child blocks before
+    executing a single line — no output, no progress, and a full ``timeout``
+    (default 900 s) burned against a 600 s retry budget, i.e. zero retries.
+    A healthy child emits its first stderr line (the axon platform warning)
+    within seconds, so: no bytes on either stream within
+    $BENCH_STARTUP_TIMEOUT (default 180 s) -> kill and report a retryable
+    startup hang.
     """
+    import threading
+
     argv = [sys.executable, script or os.path.abspath(__file__), "--once"] + (extra or [])
+    startup = float(os.environ.get("BENCH_STARTUP_TIMEOUT", "180"))
+    proc = subprocess.Popen(
+        argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+    )
+    first_output = threading.Event()
+    chunks = {"out": [], "err": []}
+
+    def pump(stream, key):
+        while True:
+            ch = stream.read(1)
+            if not ch:
+                break
+            first_output.set()
+            chunks[key].append(ch)
+
+    readers = [
+        threading.Thread(target=pump, args=(proc.stdout, "out"), daemon=True),
+        threading.Thread(target=pump, args=(proc.stderr, "err"), daemon=True),
+    ]
+    for t in readers:
+        t.start()
+
+    def finish(rc, extra_err=""):
+        for t in readers:
+            t.join(timeout=10)
+        return rc, "".join(chunks["out"]), "".join(chunks["err"]) + extra_err
+
+    if not first_output.wait(startup):
+        proc.kill()
+        proc.wait()
+        return finish(
+            -1,
+            f"\nstartup hang: no output within {startup:.0f}s "
+            "(interpreter blocked in the tunnel's sitecustomize hook)",
+        )
     try:
-        proc = subprocess.run(argv, capture_output=True, text=True, timeout=timeout)
-        return proc.returncode, proc.stdout, proc.stderr
-    except subprocess.TimeoutExpired as e:
-        out = e.stdout.decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
-        return -1, out, f"attempt timed out after {timeout:.0f}s"
+        rc = proc.wait(timeout=timeout)
+        return finish(rc)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+        return finish(-1, f"\nattempt timed out after {timeout:.0f}s")
 
 
 METRIC = "600x400 images/sec/chip (bf16 CIDNet inference)"

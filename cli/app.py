@@ -28,6 +28,11 @@ from PIL import Image
 
 from hvi_cidnet_tpu.eval.evaluator import Evaluator
 from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, HVIGates
+from hvi_cidnet_tpu.utils.compile_cache import enable_compilation_cache
+
+# long-lived UI process: honor $HVI_COMPILE_CACHE so weight switches that
+# retrace don't pay repeat compiles across restarts
+enable_compilation_cache()
 
 
 def find_weights():

@@ -36,12 +36,19 @@ parser.add_argument("--spatial", action="store_true",
                          "is visible through channel attention — the same "
                          "class of effect as the reference's own pad-to-x8)."
                          " No effect on one device")
+from hvi_cidnet_tpu.utils.compile_cache import add_compile_cache_flag  # noqa: E402
+
+add_compile_cache_flag(parser)
 args = parser.parse_args()
 
 if args.cpu:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+from hvi_cidnet_tpu.utils.compile_cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(args.compile_cache)
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402

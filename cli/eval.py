@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from hvi_cidnet_tpu.data.datasets import EvalDataset
 from hvi_cidnet_tpu.eval.evaluator import Evaluator, gates_for_dataset
 from hvi_cidnet_tpu.models.cidnet import CIDNetConfig
+from hvi_cidnet_tpu.utils.compile_cache import add_compile_cache_flag, enable_compilation_cache
 
 
 def parser() -> argparse.ArgumentParser:
@@ -61,6 +62,7 @@ def parser() -> argparse.ArgumentParser:
                         "(data-parallel serving; same numbers as single-chip "
                         "— shard_map per device, parallel/inference.py). "
                         "No effect on a single device")
+    add_compile_cache_flag(p)
     return p
 
 
@@ -104,6 +106,9 @@ def route(ep):
 
 def main():
     ep = parser().parse_args()
+    cache = enable_compilation_cache(ep.compile_cache)
+    if cache:
+        print(f"compilation cache: {cache}")
     eval_dir, out, weights, alpha, pad = route(ep)
     if ep.weights:
         weights = ep.weights

@@ -29,7 +29,11 @@ p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bflo
 p.add_argument("--dp", action="store_true",
                help="shard each batch over all addressable chips (same "
                     "numbers as single-chip; no effect on one device)")
+from hvi_cidnet_tpu.utils.compile_cache import add_compile_cache_flag, enable_compilation_cache  # noqa: E402
+
+add_compile_cache_flag(p)
 ep = p.parse_args()
+enable_compilation_cache(ep.compile_cache)
 
 if ep.Blur:
     test_dir, weights, out_root = "./datasets/LOL_blur/test/low_blur/", "./weights/LOL-Blur.pth", "./output/LOL_Blur/"

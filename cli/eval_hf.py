@@ -35,7 +35,11 @@ p.add_argument("--input_img", type=str, required=True)
 p.add_argument("--alpha_s", type=float, default=1.0)
 p.add_argument("--alpha_i", type=float, default=1.0)
 p.add_argument("--gamma", type=float, default=1.0)
+from hvi_cidnet_tpu.utils.compile_cache import add_compile_cache_flag, enable_compilation_cache  # noqa: E402
+
+add_compile_cache_flag(p)
 el = p.parse_args()
+enable_compilation_cache(el.compile_cache)
 
 config_file = el.config_json
 if el.local_file:

@@ -21,12 +21,14 @@ from hvi_cidnet_tpu.data.datasets import EvalDataset
 from hvi_cidnet_tpu.eval.evaluator import Evaluator, gates_for_dataset
 from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, init_cidnet
 from hvi_cidnet_tpu.train.checkpoint import load_any
+from hvi_cidnet_tpu.utils.compile_cache import enable_compilation_cache
 
 from cli.eval import parser, route  # shared flag surface
 
 
 def main():
     ep = parser().parse_args()
+    enable_compilation_cache(ep.compile_cache)
     eval_dir, out, weights, alpha, pad = route(ep)
     if ep.weights:
         weights = ep.weights

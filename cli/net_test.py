@@ -27,7 +27,11 @@ p.add_argument("--size", type=int, default=256)
 p.add_argument("--batch", type=int, default=1)
 p.add_argument("--dtype", type=str, default="float32", choices=["float32", "bfloat16"])
 p.add_argument("--iters", type=int, default=10)
+from hvi_cidnet_tpu.utils.compile_cache import add_compile_cache_flag, enable_compilation_cache  # noqa: E402
+
+add_compile_cache_flag(p)
 args = p.parse_args()
+enable_compilation_cache(args.compile_cache)
 
 cfg = CIDNetConfig(variant=args.variant)
 params = init_cidnet(jax.random.PRNGKey(0), cfg)

@@ -108,6 +108,9 @@ def _first_local_image(arr) -> np.ndarray:
 
 def main():
     opt = option().parse_args()
+    from hvi_cidnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache(opt.compile_cache)
     if opt.multihost:
         # pod launch: must run before the first backend touch (SURVEY §2.3
         # item 2; reference has no twin — single-GPU trainer train.py:34)
@@ -179,8 +182,21 @@ def main():
         params = jax.tree.map(np.asarray, params)
     optimizer = make_optimizer(tcfg)
     opt_state = optimizer.init(params)
+    ckpts = None
+    if opt.ckpt_backend == "orbax":
+        from hvi_cidnet_tpu.train.orbax_ckpt import OrbaxCheckpoints
+
+        # every process opens the manager (orbax coordinates multi-process
+        # writes itself; requires a shared checkpoint FS on pods)
+        ckpts = OrbaxCheckpoints("./weights/train/orbax", max_to_keep=opt.ckpt_keep)
     start_epoch = 0
-    if opt.start_epoch > 0:
+    if opt.start_epoch > 0 and ckpts is not None:
+        params, opt_loaded, _ = ckpts.restore(opt.start_epoch, params, opt_state)
+        if opt_loaded is not None:
+            opt_state = opt_loaded
+        start_epoch = opt.start_epoch
+        log(f"resumed from orbax step {opt.start_epoch}")
+    elif opt.start_epoch > 0:
         path = f"./weights/train/epoch_{opt.start_epoch}.npz"
         if multiproc:
             # checkpoints are written by process 0 only; other hosts may not
@@ -302,11 +318,18 @@ def main():
             Image.fromarray((np.clip(_first_local_image(last_gt), 0, 1) * 255).astype(np.uint8)).save(
                 os.path.join(canary_dir, "gt.png"))
 
-        if epoch % opt.snapshots == 0 and primary:
+        snapshot = epoch % opt.snapshots == 0
+        if snapshot and ckpts is not None:
+            # async orbax write: EVERY process calls save (orbax coordinates
+            # shard writes + barriers); the loop continues while bytes land
+            ckpts.save(epoch, params, opt_state)
+            log(f"Checkpoint queued (orbax step {epoch})")
+        if snapshot and primary:
             # replicated param/opt trees fetch whole on every process; only
             # process 0 touches the filesystem and runs in-loop eval
-            ckpt = save_checkpoint(f"./weights/train/epoch_{epoch}.npz", params, opt_state, epoch)
-            log(f"Checkpoint saved to {ckpt}")
+            if ckpts is None:
+                ckpt = save_checkpoint(f"./weights/train/epoch_{epoch}.npz", params, opt_state, epoch)
+                log(f"Checkpoint saved to {ckpt}")
             if val_set is not None:
                 gates = gates_for_dataset(
                     lol=opt.lol_v1, v2=opt.lolv2_real, lmot=opt.lmot, alpha=0.8
@@ -326,6 +349,13 @@ def main():
                 psnrs.append(avg_psnr)
                 ssims.append(avg_ssim)
                 lpipss.append(avg_lpips)
+
+    if ckpts is not None:
+        # barrier: async snapshots must be durable before the process exits
+        # (every process participates in the wait, then closes its manager)
+        ckpts.wait()
+        ckpts.close()
+        log("orbax checkpoints durable")
 
     # final markdown report (train.py:276-290); process 0 only
     if not primary:

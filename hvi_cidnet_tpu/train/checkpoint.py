@@ -56,7 +56,28 @@ def load_checkpoint(path: str, opt_state_template=None) -> Tuple[Dict[str, jnp.n
 
 
 def load_any(path: str) -> Dict[str, jnp.ndarray]:
-    """Load model weights from native .npz, torch .pth, or safetensors."""
+    """Load model weights from any supported container.
+
+    Files: native ``.npz``, torch ``.pth``, safetensors.  Directories: an
+    HF-layout export (``model.safetensors`` inside, save_pretrained's
+    output) or an orbax checkpoint tree (digit step dirs; loads the newest
+    step's params) — so ``--ckpt_backend orbax`` training output feeds the
+    eval/demo CLIs without a conversion step.
+    """
+    if os.path.isdir(path):
+        hf_file = os.path.join(path, "model.safetensors")
+        if os.path.isfile(hf_file):
+            return load_weights(hf_file)
+        if any(re.fullmatch(r"\d+", d) for d in os.listdir(path)):
+            from hvi_cidnet_tpu.train.orbax_ckpt import OrbaxCheckpoints
+
+            with OrbaxCheckpoints(path) as ck:
+                params, _, _ = ck.restore(None)
+            return {k: jnp.asarray(v) for k, v in params.items()}
+        raise FileNotFoundError(
+            f"{path}: directory is neither an HF export (model.safetensors) "
+            "nor an orbax checkpoint tree (digit step dirs)"
+        )
     if path.endswith(".npz"):
         return load_checkpoint(path)[0]
     return load_weights(path)

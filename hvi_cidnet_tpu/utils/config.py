@@ -144,6 +144,18 @@ def option() -> argparse.ArgumentParser:
                    help="total process count (multihost; omit to autodetect)")
     p.add_argument("--process_id", type=int, default=None,
                    help="this process's index (multihost; omit to autodetect)")
+
+    p.add_argument("--ckpt_backend", type=str, default="npz", choices=["npz", "orbax"],
+                   help="checkpoint format: npz (reference-style synchronous "
+                        "single-file, default) or orbax (async background "
+                        "writes, step-directory layout, manager-owned "
+                        "retention; requires a shared filesystem on pods)")
+    p.add_argument("--ckpt_keep", type=int, default=None,
+                   help="orbax only: keep at most N checkpoints (default all)")
+
+    from hvi_cidnet_tpu.utils.compile_cache import add_compile_cache_flag
+
+    add_compile_cache_flag(p)
     return p
 
 

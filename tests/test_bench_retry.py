@@ -94,6 +94,37 @@ def test_bench_subprocess_simulated_outage(tmp_path):
     assert "retrying" in proc.stderr
 
 
+def test_run_attempt_kills_silent_startup_hang(tmp_path, monkeypatch):
+    """A child blocked in the tunnel's sitecustomize hook produces no output
+    at all; the watchdog must kill it after BENCH_STARTUP_TIMEOUT (retryable)
+    instead of burning the whole attempt timeout."""
+    import time
+
+    hang = tmp_path / "hang.py"
+    hang.write_text("import time\ntime.sleep(60)\n")
+    monkeypatch.setenv("BENCH_STARTUP_TIMEOUT", "1")
+    t0 = time.monotonic()
+    rc, out, err = bench.run_attempt(30.0, script=str(hang))
+    assert rc == -1
+    assert "startup hang" in err
+    assert time.monotonic() - t0 < 15
+    # the watchdog's signature must be retryable so the loop tries again
+    assert bench.RETRYABLE.search(err)
+
+
+def test_run_attempt_passes_healthy_child(tmp_path, monkeypatch):
+    ok = tmp_path / "ok.py"
+    ok.write_text(
+        "import json, sys\n"
+        "print(json.dumps({'metric': 'm', 'value': 3.0}))\n"
+        "print('warming', file=sys.stderr)\n"
+    )
+    monkeypatch.setenv("BENCH_STARTUP_TIMEOUT", "30")
+    rc, out, err = bench.run_attempt(30.0, script=str(ok))
+    assert rc == 0
+    assert bench.extract_result(out)["value"] == 3.0
+
+
 def test_bench_extra_parent_writes_artifact(tmp_path, monkeypatch):
     """bench_extra.py must emit one JSON line per graph (base/mssa/tnsm/
     train) and persist them to BENCH_extra.json (VERDICT r3 weak #6) —
