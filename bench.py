@@ -15,8 +15,16 @@ instead of a bare traceback.
 
 Env knobs:
   BENCH_BATCH / BENCH_ITERS       measurement geometry (default 128 / 8)
-  BENCH_RETRY_SECONDS             total retry budget (default 600)
-  BENCH_ATTEMPT_TIMEOUT           per-attempt wall limit (default 900)
+  BENCH_RETRY_SECONDS             total retry budget (default 1800)
+  BENCH_ATTEMPT_TIMEOUT           per-attempt wall limit (default 600)
+
+The attempt timeout must be SMALLER than the retry budget: the worst tunnel
+failure mode is a child that prints the axon platform warning (so the startup
+watchdog passes) and then hangs in the first device computation — it burns
+the full attempt timeout, and with timeout > budget one hang would exhaust
+the budget with zero retries (the round-3 arithmetic).  600 s comfortably
+covers a healthy run (compile 20-40 s + tunnel overhead); 1800 s of budget
+buys three hung attempts' worth of retries.
 """
 
 from __future__ import annotations
@@ -56,6 +64,10 @@ def measure() -> dict:
     # 192+ exceeds the 16 GB HBM at 600x400.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # stderr breadcrumbs: a hung attempt gets killed by the parent's timeout,
+    # and the last line tells which phase (device claim / compile / measure)
+    # the tunnel died in.
+    print(f"bench: devices {jax.devices()}", file=sys.stderr, flush=True)
     cfg = CIDNetConfig(variant="base")
     params = init_cidnet(jax.random.PRNGKey(0), cfg)
     params = {k: (v.astype(jnp.bfloat16) if v.ndim == 4 else v) for k, v in params.items()}
@@ -80,7 +92,9 @@ def measure() -> dict:
         final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
         return final
 
+    print("bench: compiling + warmup", file=sys.stderr, flush=True)
     _ = float(loop(params, x))  # compile + warmup
+    print("bench: measuring", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     _ = float(loop(params, x))
     dt = (time.perf_counter() - t0) / iters
@@ -149,16 +163,27 @@ def run_attempt(timeout: float, *, script: str = None, extra: list = None) -> tu
     within seconds, so: no bytes on either stream within
     $BENCH_STARTUP_TIMEOUT (default 180 s) -> kill and report a retryable
     startup hang.
+
+    Idle watchdog: the OTHER observed outage mode (the day-long round-4
+    outage) passes the startup check — the axon warning prints, then the
+    first device operation hangs forever.  The child emits phase breadcrumbs
+    (devices / compiling / measuring), and a healthy gap between them is
+    under ~60 s even with TPU compile, so: no NEW bytes on either stream
+    within $BENCH_IDLE_TIMEOUT (default 300 s) -> kill and report a
+    retryable device hang.  That turns a hung attempt from ``timeout`` s
+    into ~300 s, roughly doubling the retries a fixed budget buys.
     """
     import threading
 
     argv = [sys.executable, script or os.path.abspath(__file__), "--once"] + (extra or [])
     startup = float(os.environ.get("BENCH_STARTUP_TIMEOUT", "180"))
+    idle_limit = float(os.environ.get("BENCH_IDLE_TIMEOUT", "300"))
     proc = subprocess.Popen(
         argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
     )
     first_output = threading.Event()
     chunks = {"out": [], "err": []}
+    last_output = [time.monotonic()]
 
     def pump(stream, key):
         while True:
@@ -166,6 +191,7 @@ def run_attempt(timeout: float, *, script: str = None, extra: list = None) -> tu
             if not ch:
                 break
             first_output.set()
+            last_output[0] = time.monotonic()
             chunks[key].append(ch)
 
     readers = [
@@ -188,13 +214,26 @@ def run_attempt(timeout: float, *, script: str = None, extra: list = None) -> tu
             f"\nstartup hang: no output within {startup:.0f}s "
             "(interpreter blocked in the tunnel's sitecustomize hook)",
         )
-    try:
-        rc = proc.wait(timeout=timeout)
-        return finish(rc)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        proc.wait()
-        return finish(-1, f"\nattempt timed out after {timeout:.0f}s")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            rc = proc.wait(timeout=min(5.0, max(deadline - time.monotonic(), 0.1)))
+            return finish(rc)
+        except subprocess.TimeoutExpired:
+            now = time.monotonic()
+            idle = now - last_output[0]
+            if idle > idle_limit:
+                proc.kill()
+                proc.wait()
+                return finish(
+                    -1,
+                    f"\ndevice hang: no new output for {idle:.0f}s "
+                    "(child stalled in a device operation; tunnel down)",
+                )
+            if now >= deadline:
+                proc.kill()
+                proc.wait()
+                return finish(-1, f"\nattempt timed out after {timeout:.0f}s")
 
 
 METRIC = "600x400 images/sec/chip (bf16 CIDNet inference)"
@@ -265,8 +304,8 @@ def main() -> None:
             raise SystemExit(_selftest_once())
         print(json.dumps(measure()))
         return
-    budget = float(os.environ.get("BENCH_RETRY_SECONDS", "600"))
-    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
+    budget = float(os.environ.get("BENCH_RETRY_SECONDS", "1800"))
+    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "600"))
     base_delay = float(os.environ.get("BENCH_BASE_DELAY", "5"))
     result = retry_loop(lambda: run_attempt(timeout), budget, base_delay=base_delay)
     print(json.dumps(result))

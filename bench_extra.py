@@ -90,7 +90,10 @@ def _measure_serving_at(variant: str, batch: int) -> dict:
         final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=ITERS)
         return final
 
+    # phase breadcrumbs feed the parent's idle watchdog (bench.run_attempt)
+    print(f"bench_extra: {variant} compiling (batch {batch})", file=sys.stderr, flush=True)
     _ = float(loop(params, x))  # compile + warmup
+    print(f"bench_extra: {variant} measuring", file=sys.stderr, flush=True)
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
@@ -143,7 +146,9 @@ def measure_train() -> dict:
         )
         return shift
 
+    print("bench_extra: train compiling", file=sys.stderr, flush=True)
     _ = float(loop(params, opt_state, low, high))  # compile + warmup
+    print("bench_extra: train measuring", file=sys.stderr, flush=True)
     best = 0.0
     for _ in range(2):
         t0 = time.perf_counter()
@@ -177,8 +182,12 @@ def main() -> None:
     if args.once:
         print(json.dumps(measure(args.graph)))
         return
-    budget = float(os.environ.get("BENCH_RETRY_SECONDS", "600"))
-    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "900"))
+    # Per-graph retry arithmetic mirrors bench.py: the attempt timeout must
+    # be SMALLER than the budget or one hung attempt exhausts it with zero
+    # retries (the round-3 failure).  Per-graph budget is a quarter of
+    # bench.py's so the whole 4-graph sweep stays under the runner's window.
+    budget = float(os.environ.get("BENCH_RETRY_SECONDS", "450"))
+    timeout = float(os.environ.get("BENCH_ATTEMPT_TIMEOUT", "400"))
     results, failed = [], 0
     for graph in GRAPHS:
         # one failed graph must not discard the window's other measurements

@@ -1,0 +1,181 @@
+"""Per-SITE attribution of the serving forward's residual cost pools.
+
+Round-3's per-op ledger (docs/ROUND3_NOTES.md) is aggregated by op *type*
+(profiling.op_breakdown strips the ``.N`` instance suffix), which was enough
+to size the pools — fusions 296 ms, copies 60, LN stats 54, multiply_add 26,
+DUS+misc 35 — but not to attack the last two: "multiply_add tails" is ~30
+distinct residual-add/gate sites and we don't know which ones XLA failed to
+fuse.  This probe joins
+
+  1. the xplane trace aggregated by FULL instruction name (fusion.123, not
+     "fusion"), with
+  2. the optimized HLO's per-instruction ``metadata.op_name`` (the jax
+     source path, e.g. ``jit(loop)/.../i_lca5/add``), parsed from
+     ``compiled.as_text()``,
+
+and prints a time-sorted site table for every instruction matching the
+attack pools (multiply_add / dynamic-update-slice / dynamic-slice / copy /
+pad / concatenate), so the next kernel (or graph rewrite) targets measured
+bytes, not guesses.
+
+Runs on any backend (CPU validates the parsing; pools are only meaningful
+on the real chip).  Usage:
+
+  python -u experiments/pool_attrib_r4.py [--batch N] [--iters N] [--top N]
+
+Writes the full table to /tmp/pool_attrib_r4.txt as well as stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import re
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
+from hvi_cidnet_tpu.utils.profiling import trace
+
+H, W = 400, 600
+
+# Instruction-name prefixes belonging to the two unattacked pools, plus the
+# copy pool for cross-checking the round-3 audit.
+POOL_PAT = re.compile(
+    r"^%?(loop_)?(multiply_add|add_multiply|multiply|add|subtract"
+    r"|dynamic-update-slice|dynamic_update_slice|dynamic-slice|dynamic_slice"
+    r"|copy|pad|concatenate|select|bitcast)"
+)
+
+
+def build(batch: int, iters: int):
+    cfg = CIDNetConfig(variant="base")
+    params = init_cidnet(jax.random.PRNGKey(0), cfg)
+    params = {k: (v.astype(jnp.bfloat16) if v.ndim == 4 else v) for k, v in params.items()}
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (batch, H, W, 3)), jnp.bfloat16)
+
+    @jax.jit
+    def loop(p, x):
+        def body(carry, _):
+            y = jnp.clip(
+                cidnet_forward(p, x + carry, cfg, compute_dtype=jnp.bfloat16), 0, 1
+            )
+            return (jnp.mean(y) * jnp.bfloat16(1e-8)).astype(jnp.bfloat16), None
+
+        final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
+        return final
+
+    return loop, params, x
+
+
+def hlo_metadata(hlo_text: str) -> dict:
+    """instruction name -> (op_name, source) from optimized HLO text.
+
+    For fusions the instruction's own metadata carries a representative
+    op_name; when it is empty we fall back to the first metadata found in
+    the fused computation body (the text lists computations before use).
+    """
+    meta = {}
+    # %name = ... metadata={op_name="..." source_file="..." source_line=N}
+    inst_re = re.compile(
+        r"%?([\w.\-]+)\s*=\s*[^\n]*?metadata=\{([^}]*)\}"
+    )
+    op_re = re.compile(r'op_name="([^"]*)"')
+    src_re = re.compile(r'source_file="([^"]*)"\s+source_line=(\d+)')
+    for m in inst_re.finditer(hlo_text):
+        name, blob = m.group(1), m.group(2)
+        op = op_re.search(blob)
+        src = src_re.search(blob)
+        meta[name] = (
+            op.group(1) if op else "",
+            f"{src.group(1).rsplit('/', 1)[-1]}:{src.group(2)}" if src else "",
+        )
+    return meta
+
+
+def traced_durations(log_dir: str) -> dict:
+    """FULL-name device-op durations (us) from the newest trace."""
+    paths = sorted(glob.glob(f"{log_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {log_dir}")
+    with gzip.open(paths[-1]) as f:
+        data = json.load(f)
+    agg: collections.Counter = collections.Counter()
+    for e in data.get("traceEvents", []):
+        name = e.get("name", "")
+        if e.get("ph") != "X" or not e.get("dur") or name.startswith("$") or "(" in name:
+            continue
+        agg[name.lstrip("%")] += e["dur"]
+    return dict(agg)
+
+
+def shorten(op_name: str, width: int = 90) -> str:
+    # strip the jit(loop)/scan wrapper prefix noise, keep the model path
+    op_name = re.sub(r"^jit\([^)]*\)/", "", op_name)
+    op_name = re.sub(r"jvp\(|vjp\(|transpose\(", "", op_name)
+    return op_name[-width:]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--top", type=int, default=60)
+    args = ap.parse_args()
+
+    loop, params, x = build(args.batch, args.iters)
+    compiled = loop.lower(params, x).compile()
+    meta = hlo_metadata(compiled.as_text())
+    print(f"hlo: {len(meta)} instructions with metadata")
+
+    _ = float(loop(params, x))  # warm
+    t0 = time.perf_counter()
+    _ = float(loop(params, x))
+    wall = (time.perf_counter() - t0) / args.iters
+    print(f"wall {wall*1e3:.1f} ms/fwd = {args.batch/wall:.1f} img/s")
+
+    logdir = "/tmp/pool_attrib_trace"
+    with trace(logdir):
+        _ = float(loop(params, x))
+    durs = traced_durations(logdir)
+
+    rows = []
+    pool_rows = []
+    for name, us in sorted(durs.items(), key=lambda kv: -kv[1]):
+        op, src = meta.get(name, ("", ""))
+        row = (us / 1e3 / args.iters, name, shorten(op), src)
+        rows.append(row)
+        if POOL_PAT.match(name):
+            pool_rows.append(row)
+
+    def fmt(rs):
+        return "\n".join(
+            f"  {ms:8.2f} ms  {name:<34} {src:<18} {op}" for ms, name, op, src in rs
+        )
+
+    out = []
+    out.append(f"\n=== attack pools (multiply_add / DUS / copy / pad / concat), ms/fwd ===")
+    out.append(fmt(pool_rows[: args.top]))
+    pool_total = sum(r[0] for r in pool_rows)
+    out.append(f"pool total: {pool_total:.1f} ms/fwd "
+               f"({100*pool_total*1e3*args.iters/sum(durs.values()):.1f}% of traced)")
+    out.append(f"\n=== all ops top {args.top} (ms/fwd) ===")
+    out.append(fmt(rows[: args.top]))
+    text = "\n".join(out)
+    print(text)
+    with open("/tmp/pool_attrib_r4.txt", "w") as f:
+        f.write(text + "\n")
+    print("\nfull table -> /tmp/pool_attrib_r4.txt")
+
+
+if __name__ == "__main__":
+    main()

@@ -112,6 +112,29 @@ def test_run_attempt_kills_silent_startup_hang(tmp_path, monkeypatch):
     assert bench.RETRYABLE.search(err)
 
 
+def test_run_attempt_kills_idle_device_hang(tmp_path, monkeypatch):
+    """The round-4 outage mode: the child prints the platform warning (so
+    the startup watchdog passes) and then hangs forever in the first device
+    op.  The idle watchdog must kill it after BENCH_IDLE_TIMEOUT of output
+    silence (retryable) instead of burning the whole attempt timeout."""
+    import time
+
+    hang = tmp_path / "hang_after_output.py"
+    hang.write_text(
+        "import sys, time\n"
+        "print('Platform axon is experimental', file=sys.stderr, flush=True)\n"
+        "time.sleep(120)\n"
+    )
+    monkeypatch.setenv("BENCH_STARTUP_TIMEOUT", "20")
+    monkeypatch.setenv("BENCH_IDLE_TIMEOUT", "2")
+    t0 = time.monotonic()
+    rc, out, err = bench.run_attempt(60.0, script=str(hang))
+    assert rc == -1
+    assert "device hang" in err
+    assert time.monotonic() - t0 < 30
+    assert bench.RETRYABLE.search(err)
+
+
 def test_run_attempt_passes_healthy_child(tmp_path, monkeypatch):
     ok = tmp_path / "ok.py"
     ok.write_text(
