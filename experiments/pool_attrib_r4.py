@@ -39,8 +39,14 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-import numpy as np
+# --cpu must take effect before the first jax device touch (the tunnel's
+# sitecustomize registers the axon backend; the env var alone is not enough)
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
 import jax.numpy as jnp
 
 from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
@@ -130,6 +136,9 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--top", type=int, default=60)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (parsing validation; pool times are only "
+                         "meaningful on the chip)")
     args = ap.parse_args()
 
     loop, params, x = build(args.batch, args.iters)
