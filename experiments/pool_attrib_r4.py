@@ -127,6 +127,7 @@ def traced_durations(log_dir: str) -> dict:
 def shorten(op_name: str, width: int = 90) -> str:
     # strip the jit(loop)/scan wrapper prefix noise, keep the model path
     op_name = re.sub(r"^jit\([^)]*\)/", "", op_name)
+    op_name = re.sub(r"(while/)?body/(closed_call/)?", "", op_name)
     op_name = re.sub(r"jvp\(|vjp\(|transpose\(", "", op_name)
     return op_name[-width:]
 

@@ -348,23 +348,26 @@ def _forward_impl(
     noise_maps = []
 
     k = p["trans.density_k"]
-    if hwcb_io:
-        # x already (H,W,3,B): the transform runs in the internal layout
-        # with batch in lanes — no packing, no Pallas, no transposes
-        hvi = rgb_to_hvi(x, k, channel_axis=2).astype(compute_dtype)
-    elif _hvi_pallas.should_use_pallas():
-        # fused kernel emits the HWCB internal layout directly (skips the
-        # (N,3)-lane packing transpose AND the NHWC boundary transpose)
-        hvi = _hvi_pallas.rgb_to_hvi_pallas_hwcb(x, k).astype(compute_dtype)
-    else:
-        hvi_nhwc = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
-        # switch to the HWCB internal layout (one cheap 3-channel transpose)
-        hvi = nhwc_to_internal(hvi_nhwc)
+    with jax.named_scope("HVIT"):
+        if hwcb_io:
+            # x already (H,W,3,B): the transform runs in the internal layout
+            # with batch in lanes — no packing, no Pallas, no transposes
+            hvi = rgb_to_hvi(x, k, channel_axis=2).astype(compute_dtype)
+        elif _hvi_pallas.should_use_pallas():
+            # fused kernel emits the HWCB internal layout directly (skips the
+            # (N,3)-lane packing transpose AND the NHWC boundary transpose)
+            hvi = _hvi_pallas.rgb_to_hvi_pallas_hwcb(x, k).astype(compute_dtype)
+        else:
+            hvi_nhwc = rgb_to_hvi(x, k).astype(compute_dtype)  # CIDNet.py:73
+            # switch to the HWCB internal layout (one cheap 3-channel transpose)
+            hvi = nhwc_to_internal(hvi_nhwc)
     i_img = hvi[:, :, 2:3, :]                      # :74 (C is axis 2 in HWCB)
 
-    i_enc0 = conv3x3_replpad(i_img, p["IE_block0.1.weight"])  # :76
+    with jax.named_scope("IE_block0"):
+        i_enc0 = conv3x3_replpad(i_img, p["IE_block0.1.weight"])  # :76
     i_enc1 = norm_downsample(p, "IE_block1", i_enc0, use_norm=nrm)
-    hv_0 = conv3x3_replpad(hvi, p["HVE_block0.1.weight"])
+    with jax.named_scope("HVE_block0"):
+        hv_0 = conv3x3_replpad(hvi, p["HVE_block0.1.weight"])
     hv_1 = norm_downsample(p, "HVE_block1", hv_0, use_norm=nrm)
     i_jump0, hv_jump0 = i_enc0, hv_0
 
@@ -444,40 +447,44 @@ def _forward_impl(
     i_dec1 = norm_upsample(p, "ID_block1", i_dec1, i_jump0, use_norm=nrm)  # :114
     if variant == "mssa":
         i_dec1 = spatial_attention(p, "sa_i1", i_dec1)
-    i_dec0 = conv3x3_replpad(i_dec1, p["ID_block0.1.weight"])
+    with jax.named_scope("ID_block0"):
+        i_dec0 = conv3x3_replpad(i_dec1, p["ID_block0.1.weight"])
     hv_1 = norm_upsample(p, "HVD_block1", hv_1, hv_jump0, use_norm=nrm)
     if variant == "mssa":
         hv_1 = spatial_attention(p, "sa_hv1", hv_1)
-    hv_0 = conv3x3_replpad(hv_1, p["HVD_block0.1.weight"])
+    with jax.named_scope("HVD_block0"):
+        hv_0 = conv3x3_replpad(hv_1, p["HVD_block0.1.weight"])
 
-    output_hvi_hwcb = jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi  # :119
+    with jax.named_scope("hvi_residual"):
+        output_hvi_hwcb = jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi  # :119
     # PHVIT consumed the detached scalar this_k (HVI_transform.py:38,59):
-    if hwcb_io:
-        output_rgb = hvi_to_rgb(
-            output_hvi_hwcb,
-            jax.lax.stop_gradient(k),
-            gated=gates.gated,
-            gated2=gates.gated2,
-            alpha=gates.alpha,
-            alpha_s=gates.alpha_s,
-            channel_axis=2,
-        )
-    elif _hvi_pallas.should_use_pallas():
-        # consumes HWCB directly (no boundary transpose), emits NHWC
-        output_rgb = _hvi_pallas.hvi_to_rgb_pallas_hwcb(
-            output_hvi_hwcb, jax.lax.stop_gradient(k),
-            gated=gates.gated, gated2=gates.gated2,
-            alpha=gates.alpha, alpha_s=gates.alpha_s,
-        )
-    else:
-        output_rgb = hvi_to_rgb(
-            internal_to_nhwc(output_hvi_hwcb),
-            jax.lax.stop_gradient(k),
-            gated=gates.gated,
-            gated2=gates.gated2,
-            alpha=gates.alpha,
-            alpha_s=gates.alpha_s,
-        )
+    with jax.named_scope("PHVIT"):
+        if hwcb_io:
+            output_rgb = hvi_to_rgb(
+                output_hvi_hwcb,
+                jax.lax.stop_gradient(k),
+                gated=gates.gated,
+                gated2=gates.gated2,
+                alpha=gates.alpha,
+                alpha_s=gates.alpha_s,
+                channel_axis=2,
+            )
+        elif _hvi_pallas.should_use_pallas():
+            # consumes HWCB directly (no boundary transpose), emits NHWC
+            output_rgb = _hvi_pallas.hvi_to_rgb_pallas_hwcb(
+                output_hvi_hwcb, jax.lax.stop_gradient(k),
+                gated=gates.gated, gated2=gates.gated2,
+                alpha=gates.alpha, alpha_s=gates.alpha_s,
+            )
+        else:
+            output_rgb = hvi_to_rgb(
+                internal_to_nhwc(output_hvi_hwcb),
+                jax.lax.stop_gradient(k),
+                gated=gates.gated,
+                gated2=gates.gated2,
+                alpha=gates.alpha,
+                alpha_s=gates.alpha_s,
+            )
 
     if variant == "tnsm":
         if use_tnsm and training:

@@ -14,6 +14,8 @@ block documents its reference counterpart with file:line.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -36,6 +38,24 @@ from hvi_cidnet_tpu.ops.attention import channel_attention  # noqa: F401
 Params = dict
 
 
+def _scoped(fn):
+    """Trace the block under ``jax.named_scope(prefix)``.
+
+    Pure metadata: optimized-HLO ``op_name`` then carries the model site
+    (e.g. ``I_LCA5/...``), which is what lets the per-site pool attribution
+    (experiments/pool_attrib_r4.py) name which residual add / relayout a
+    traced instruction belongs to.  No numeric or cache-key effect.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(p, prefix, *args, **kwargs):
+        with jax.named_scope(prefix):
+            return fn(p, prefix, *args, **kwargs)
+
+    return wrapper
+
+
+@_scoped
 def layer_norm(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     """LayerNorm, channels_first semantics (net/transformer_utils.py:5-29).
 
@@ -45,6 +65,7 @@ def layer_norm(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     return layer_norm_channels_fused(x, p[prefix + ".weight"], p[prefix + ".bias"])
 
 
+@_scoped
 def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = False) -> jnp.ndarray:
     """3x3 conv -> bilinear x0.5 -> PReLU -> optional LN.
 
@@ -59,6 +80,7 @@ def norm_downsample(p: Params, prefix: str, x: jnp.ndarray, *, use_norm: bool = 
     return x
 
 
+@_scoped
 def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use_norm: bool = False) -> jnp.ndarray:
     """3x3 conv -> bilinear x2 -> concat skip -> 1x1 conv -> PReLU -> opt LN.
 
@@ -78,6 +100,7 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
     return x
 
 
+@_scoped
 def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Cross-attention block: q from x, k/v from y (net/LCA.py:7-41).
 
@@ -97,6 +120,7 @@ def cab(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> j
     )
 
 
+@_scoped
 def iel(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     """Intensity Enhancement Layer — gated tanh FFN (net/LCA.py:45-67).
 
@@ -120,6 +144,7 @@ def iel(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     return conv1x1(x1 * x2, p[prefix + ".project_out.weight"])
 
 
+@_scoped
 def hv_lca(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:
     """``x + CAB(LN(x), LN(y))`` then IEL(LN(x)) — NOT residual on the IEL.
 
@@ -129,12 +154,14 @@ def hv_lca(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -
     return iel(p, prefix + ".gdfn", layer_norm(p, prefix + ".norm", x))
 
 
+@_scoped
 def i_lca(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, heads: int) -> jnp.ndarray:
     """Like hv_lca but with residual on the IEL (net/LCA.py:83-93)."""
     x = x + cab(p, prefix + ".ffn", layer_norm(p, prefix + ".norm", x), layer_norm(p, prefix + ".norm", y), heads)
     return x + iel(p, prefix + ".gdfn", layer_norm(p, prefix + ".norm", x))
 
 
+@_scoped
 def spatial_attention(p: Params, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
     """avg+max channel pool -> 7x7 conv -> sigmoid gate.
 
