@@ -73,6 +73,30 @@ def use_attn_pallas(h: int, w: int, c: int, b: int, dtype) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _finish_scores(scores, inv_q, inv_k, temperature, heads, w_proj, normalize_qk):
+    """Raw (B,C,D) scores -> softmaxed (and optionally projection-folded)
+    attention matrix, shared by the HWCB and NCB feed arms."""
+    c = scores.shape[1]
+    cp = c // heads
+    if normalize_qk:
+        scores = scores * inv_q[:, :, None] * inv_k[:, None, :]
+    # row c belongs to head c // cp; the reference scales row-wise by that
+    # head's temperature (net/LCA.py:33)
+    temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
+    scores = scores * temp_per_c[None, :, None]
+    if heads > 1:
+        head_id = np.arange(c) // cp
+        block = jnp.asarray(head_id[:, None] == head_id[None, :])
+        scores = jnp.where(block[None], scores, -jnp.inf)
+    attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
+    if w_proj is not None:
+        # fold the downstream 1x1 projection into the tiny attention matrix:
+        # proj(attn @ v) == (proj^T attn) @ v — removes one full-size
+        # read+write of the attention output per site
+        attn = jnp.einsum("co,bcd->bod", w_proj[0, 0].astype(jnp.float32), attn)
+    return attn
+
+
 def channel_attention_xla(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -95,38 +119,49 @@ def channel_attention_xla(
     b head c (h w)')`` (net/LCA.py:26-28): torch channel index
     c = head * c_ph + i, preserved by our channel axis.  TNSM's variant
     skips the L2 normalization (net/TNSM.py:98-104).
-    """
-    c = q.shape[2]
-    cp = c // heads
 
-    scores = jnp.einsum("hwcb,hwdb->bcd", q, k, preferred_element_type=jnp.float32)
-    if normalize_qk:
-        # torch F.normalize over the spatial axis: x / max(||x||_2, 1e-12)
-        # applied to q and k.  Algebraically hoisted PAST the contraction:
-        # (q/|q|)·(k/|k|) == (q·k) / (|q||k|) — the raw scores are rescaled
-        # by per-(channel, batch) norms instead of rewriting the full q/k
-        # feature maps (saves two full HBM passes per attention site; the
-        # f32 score accumulation is unchanged, so this is exact up to f32
-        # rounding order).
-        def _inv_norm(t):  # (1/max(|t_cb|, 1e-12)) as (B, C)
-            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1))
+    The torch ``F.normalize`` over the spatial axis (x / max(||x||_2,
+    1e-12), applied to q and k) is algebraically hoisted PAST the
+    contraction in both arms: (q/|q|)·(k/|k|) == (q·k) / (|q||k|) — the raw
+    scores are rescaled by per-(channel, batch) norms instead of rewriting
+    the full q/k feature maps (saves two full HBM passes per attention
+    site; the f32 score accumulation is unchanged, so this is exact up to
+    f32 rounding order).
+
+    ``attn_ncb_feed`` seam (ATTN_NCB_FEED=1): the same contraction fed from
+    a flattened (N,C,B) view — a free reshape since H,W are major-adjacent
+    in HWCB — presenting a different operand shape to XLA's layout
+    assignment.  Built for the train-geometry relayout pool (~30 ms/step at
+    b=16, where batch-in-lanes pads 16->128; VERDICT r3 item 7); identical
+    math, so both arms are parity-tested.
+    """
+    if kernel_flag("attn_ncb_feed"):
+        h, w, c, b = q.shape
+        qn = q.reshape(h * w, c, b)
+        kn = k.reshape(h * w, c, b)
+        vn = v.reshape(h * w, c, b)
+        scores = jnp.einsum("ncb,ndb->bcd", qn, kn, preferred_element_type=jnp.float32)
+
+        def _inv_norm_ncb(t):  # (1/max(|t_cb|, 1e-12)) as (B, C)
+            sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=0)
             return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
 
-        scores = scores * _inv_norm(q)[:, :, None] * _inv_norm(k)[:, None, :]
-    # row c belongs to head c // cp; the reference scales row-wise by that
-    # head's temperature (net/LCA.py:33)
-    temp_per_c = jnp.repeat(temperature.reshape(heads).astype(jnp.float32), cp)
-    scores = scores * temp_per_c[None, :, None]
-    if heads > 1:
-        head_id = np.arange(c) // cp
-        block = jnp.asarray(head_id[:, None] == head_id[None, :])
-        scores = jnp.where(block[None], scores, -jnp.inf)
-    attn = jax.nn.softmax(scores, axis=-1)  # block-diag == per-head softmax
-    if w_proj is not None:
-        # fold the downstream 1x1 projection into the tiny attention matrix:
-        # proj(attn @ v) == (proj^T attn) @ v — removes one full-size
-        # read+write of the attention output per site
-        attn = jnp.einsum("co,bcd->bod", w_proj[0, 0].astype(jnp.float32), attn)
+        attn = _finish_scores(
+            scores, _inv_norm_ncb(qn), _inv_norm_ncb(kn),
+            temperature, heads, w_proj, normalize_qk,
+        )
+        out = jnp.einsum("bcd,ndb->ncb", attn.astype(v.dtype), vn)
+        return out.reshape(h, w, c, b)
+
+    scores = jnp.einsum("hwcb,hwdb->bcd", q, k, preferred_element_type=jnp.float32)
+
+    def _inv_norm(t):  # (1/max(|t_cb|, 1e-12)) as (B, C)
+        sq = jnp.sum(jnp.square(t.astype(jnp.float32)), axis=(0, 1))
+        return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
+
+    attn = _finish_scores(
+        scores, _inv_norm(q), _inv_norm(k), temperature, heads, w_proj, normalize_qk
+    )
     # no preferred_element_type: the MXU accumulates fp32 internally and
     # rounds once to the output dtype — requesting f32 out materializes an
     # extra full-size cast pass per attention site

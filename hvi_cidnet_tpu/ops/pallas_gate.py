@@ -74,6 +74,11 @@ def force_interpret() -> bool:
 #   ln_pallas       LN_USE_PALLAS=0   230 vs 242 img/s end-to-end
 #   iel_pallas      IEL_USE_PALLAS=0  148 vs 230 img/s end-to-end
 #   ln_stats_conv   LN_STATS_CONV=0   LN moments via C->1 ones-convs (MXU)
+#   attn_ncb_feed   ATTN_NCB_FEED=0   attention einsums fed (N,C,B) instead
+#                                     of (H,W,C,B) — same contraction, a
+#                                     different shape presented to XLA's
+#                                     layout assignment (train-feed A/B,
+#                                     VERDICT r3 item 7; not a kernel)
 #
 # Flags are read at TRACE time; ``set_kernel_flag``/``kernel_flags`` clear
 # the jit caches whenever a flip changes a flag's effective value, so
@@ -87,6 +92,7 @@ _FLAG_DEFAULTS = {
     "ln_pallas": ("LN_USE_PALLAS", False),
     "iel_pallas": ("IEL_USE_PALLAS", False),
     "ln_stats_conv": ("LN_STATS_CONV", False),
+    "attn_ncb_feed": ("ATTN_NCB_FEED", False),
 }
 _flag_overrides: dict = {}
 

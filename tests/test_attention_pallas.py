@@ -100,3 +100,41 @@ def test_bcn_kernel_bf16(monkeypatch):
     )
     assert out.shape == (b, c, n) and out.dtype == jnp.bfloat16
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
+
+
+@pytest.mark.parametrize("heads", [1, 4])
+@pytest.mark.parametrize("normalize_qk", [True, False])
+@pytest.mark.parametrize("with_proj", [True, False])
+def test_ncb_feed_matches_hwcb(heads, normalize_qk, with_proj):
+    """ATTN_NCB_FEED seam: the flattened-spatial feed is the same
+    contraction — outputs must match the HWCB arm (train-feed A/B,
+    VERDICT r3 item 7)."""
+    from hvi_cidnet_tpu.ops.pallas_gate import kernel_flags
+
+    q, k, v, temp, w_proj = _qkv(16, heads, seed=40 + heads)
+    wp = w_proj if with_proj else None
+    want = channel_attention_xla(
+        q, k, v, temp, heads, normalize_qk=normalize_qk, w_proj=wp
+    )
+    with kernel_flags(attn_ncb_feed=True):
+        got = channel_attention_xla(
+            q, k, v, temp, heads, normalize_qk=normalize_qk, w_proj=wp
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-6, rtol=1e-6)
+
+
+def test_ncb_feed_gradients_match():
+    """The seam must be exact through autodiff too (it runs in training)."""
+    from hvi_cidnet_tpu.ops.pallas_gate import kernel_flags
+
+    q, k, v, temp, w_proj = _qkv(8, 2, seed=77)
+
+    def loss(q, k, v, temp):
+        out = channel_attention_xla(q, k, v, temp, 2, w_proj=w_proj)
+        return jnp.sum(out * out)
+
+    want = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, temp)
+    with kernel_flags(attn_ncb_feed=True):
+        got = jax.grad(loss, argnums=(0, 1, 2, 3))(q, k, v, temp)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), atol=2e-5, rtol=1e-5)
