@@ -86,25 +86,61 @@ def build(batch: int, iters: int):
 def hlo_metadata(hlo_text: str) -> dict:
     """instruction name -> (op_name, source) from optimized HLO text.
 
-    For fusions the instruction's own metadata carries a representative
-    op_name; when it is empty we fall back to the first metadata found in
-    the fused computation body (the text lists computations before use).
+    For fusions whose own metadata is empty we fall back to the fused
+    computation's body: every body instruction's op_name is collected and
+    the most common model-scope prefix wins (a copy fusion fused into, say,
+    ``I_LCA5`` carries that block's ops), recorded with a ``~`` marker
+    since it is the body's site, not the fusion instruction's own.
     """
-    meta = {}
-    # %name = ... metadata={op_name="..." source_file="..." source_line=N}
-    inst_re = re.compile(
-        r"%?([\w.\-]+)\s*=\s*[^\n]*?metadata=\{([^}]*)\}"
-    )
     op_re = re.compile(r'op_name="([^"]*)"')
     src_re = re.compile(r'source_file="([^"]*)"\s+source_line=(\d+)')
-    for m in inst_re.finditer(hlo_text):
-        name, blob = m.group(1), m.group(2)
-        op = op_re.search(blob)
-        src = src_re.search(blob)
-        meta[name] = (
-            op.group(1) if op else "",
-            f"{src.group(1).rsplit('/', 1)[-1]}:{src.group(2)}" if src else "",
+    inst_re = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(.*)$")
+    comp_re = re.compile(r"^%?([\w.\-]+)\s*(?:\([^)]*\))?\s*->.*\{")
+    calls_re = re.compile(r"calls=%?([\w.\-]+)")
+
+    meta = {}
+    comp_ops: dict = {}      # computation -> [op_name, ...] of its body
+    inst_calls = {}          # instruction -> called computation
+    current = None
+    for line in hlo_text.splitlines():
+        head = line.strip()
+        if head.startswith("ENTRY "):
+            head = head[len("ENTRY "):]
+        cm = comp_re.match(head)
+        if cm and "=" not in line.split("{")[0]:
+            current = cm.group(1)
+            comp_ops.setdefault(current, [])
+            continue
+        im = inst_re.match(line)
+        if not im:
+            continue
+        name, rest = im.group(1), im.group(2)
+        op = op_re.search(rest)
+        src = src_re.search(rest)
+        if op or src:
+            meta[name] = (
+                op.group(1) if op else "",
+                f"{src.group(1).rsplit('/', 1)[-1]}:{src.group(2)}" if src else "",
+            )
+            if current and op:
+                comp_ops[current].append(op.group(1))
+        call = calls_re.search(rest)
+        if call:
+            inst_calls[name] = call.group(1)
+
+    # fusion fallback: attribute unnamed fusions to their body's dominant site
+    for name, comp in inst_calls.items():
+        if meta.get(name, ("", ""))[0]:
+            continue
+        ops = comp_ops.get(comp, [])
+        if not ops:
+            continue
+        # dominant top-level scope among the body ops (e.g. "I_LCA5")
+        tops = collections.Counter(
+            re.sub(r"^jit\([^)]*\)/", "", o).split("/")[0] for o in ops
         )
+        top, _ = tops.most_common(1)[0]
+        meta[name] = (f"~{top} [{len(ops)} body ops]", meta.get(name, ("", ""))[1])
     return meta
 
 
