@@ -44,22 +44,27 @@ def find_weights():
 
 
 _cache = {}
+_cache_lock = __import__("threading").Lock()
 
 
 def _evaluator(model_path, gamma, alpha_s, alpha_i) -> Evaluator:
-    key = (model_path, gamma, alpha_s, alpha_i)
-    if key not in _cache:
-        _cache.clear()
-        cfg = CIDNetConfig(variant="base")
-        gates = HVIGates(gated=True, gated2=True, alpha=alpha_i, alpha_s=alpha_s)
-        if model_path == RANDOM_INIT:
-            import jax
+    # serialized: requests run on ThreadingHTTPServer worker threads, and the
+    # clear-then-insert policy (keep one compiled Evaluator) would otherwise
+    # let one thread clear another's entry between insert and read
+    with _cache_lock:
+        key = (model_path, gamma, alpha_s, alpha_i)
+        if key not in _cache:
+            _cache.clear()
+            cfg = CIDNetConfig(variant="base")
+            gates = HVIGates(gated=True, gated2=True, alpha=alpha_i, alpha_s=alpha_s)
+            if model_path == RANDOM_INIT:
+                import jax
 
-            weights = init_cidnet(jax.random.PRNGKey(0), cfg)
-        else:
-            weights = model_path
-        _cache[key] = Evaluator(weights, cfg, gates, gamma=gamma)
-    return _cache[key]
+                weights = init_cidnet(jax.random.PRNGKey(0), cfg)
+            else:
+                weights = model_path
+            _cache[key] = Evaluator(weights, cfg, gates, gamma=gamma)
+        return _cache[key]
 
 
 def process_image(img, score, model_path, gamma, alpha_s, alpha_i):
@@ -155,8 +160,11 @@ def make_fallback_server(host: str = "127.0.0.1", port: int = 7862):
             if urlparse(self.path).path != "/":
                 self._send(404, b"not found", "text/plain")
                 return
+            import html as _html
+
             opts = "".join(
-                f'<option value="{w}">{w}</option>' for w in find_weights()
+                f'<option value="{_html.escape(w, quote=True)}">{_html.escape(w)}</option>'
+                for w in find_weights()
             )
             self._send(200, _PAGE.replace("__OPTIONS__", opts).encode(), "text/html")
 
@@ -167,13 +175,23 @@ def make_fallback_server(host: str = "127.0.0.1", port: int = 7862):
                 return
             try:
                 q = parse_qs(url.query)
+                # the weights param is client-controlled: only entries the
+                # page itself offered are honored (no arbitrary-path loads)
+                weights = q.get("weights", [RANDOM_INIT])[0]
+                if weights not in find_weights():
+                    self._send(
+                        400,
+                        json.dumps({"error": "unknown weights entry"}).encode(),
+                        "application/json",
+                    )
+                    return
                 length = int(self.headers.get("Content-Length", "0"))
                 raw = self.rfile.read(length)
                 img = Image.open(io.BytesIO(raw))
                 out_img, info = process_image(
                     img,
                     q.get("score", ["0"])[0] == "1",
-                    q.get("weights", [RANDOM_INIT])[0],
+                    weights,
                     float(q.get("gamma", ["1.0"])[0]),
                     float(q.get("alpha_s", ["1.0"])[0]),
                     float(q.get("alpha_i", ["1.0"])[0]),
@@ -226,7 +244,7 @@ def main() -> None:
             outputs=[gr.Image(type="pil", label="enhanced"), gr.Textbox(label="score")],
             title="HVI-CIDNet (TPU)",
         )
-        interface.launch(server_port=args.port)
+        interface.launch(server_name=args.host, server_port=args.port)
         return
     server = make_fallback_server(args.host, args.port)
     print(f"serving http://{args.host}:{server.server_address[1]} (ctrl-c to stop)")

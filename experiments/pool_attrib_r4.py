@@ -135,10 +135,18 @@ def hlo_metadata(hlo_text: str) -> dict:
         ops = comp_ops.get(comp, [])
         if not ops:
             continue
-        # dominant top-level scope among the body ops (e.g. "I_LCA5")
-        tops = collections.Counter(
-            re.sub(r"^jit\([^)]*\)/", "", o).split("/")[0] for o in ops
-        )
+        # dominant top-level MODEL scope among the body ops (e.g. "I_LCA5") —
+        # the jit/scan wrapper segments (jit(loop)/while/body/closed_call/)
+        # must be stripped first or every op's top segment is 'while'
+        def _top(o):
+            o = re.sub(r"^jit\([^)]*\)/", "", o)
+            # leading jit/scan wrapper segments, in any combination
+            o = re.sub(r"^((while|body|closed_call|cond|branch_\d+)/)+", "", o)
+            top = o.split("/")[0]
+            # an op whose whole path IS the wrapper = scan carry/ys plumbing
+            return top if top not in ("", "while", "body", "closed_call") else "scan-internal"
+
+        tops = collections.Counter(_top(o) for o in ops)
         top, _ = tops.most_common(1)[0]
         meta[name] = (f"~{top} [{len(ops)} body ops]", meta.get(name, ("", ""))[1])
     return meta
@@ -163,7 +171,7 @@ def traced_durations(log_dir: str) -> dict:
 def shorten(op_name: str, width: int = 90) -> str:
     # strip the jit(loop)/scan wrapper prefix noise, keep the model path
     op_name = re.sub(r"^jit\([^)]*\)/", "", op_name)
-    op_name = re.sub(r"(while/)?body/(closed_call/)?", "", op_name)
+    op_name = re.sub(r"^((while|body|closed_call|cond|branch_\d+)/)+", "", op_name)
     op_name = re.sub(r"jvp\(|vjp\(|transpose\(", "", op_name)
     return op_name[-width:]
 

@@ -147,7 +147,9 @@ def channel_attention_xla(
             return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
 
         attn = _finish_scores(
-            scores, _inv_norm_ncb(qn), _inv_norm_ncb(kn),
+            scores,
+            _inv_norm_ncb(qn) if normalize_qk else None,
+            _inv_norm_ncb(kn) if normalize_qk else None,
             temperature, heads, w_proj, normalize_qk,
         )
         out = jnp.einsum("bcd,ndb->ncb", attn.astype(v.dtype), vn)
@@ -160,7 +162,10 @@ def channel_attention_xla(
         return jax.lax.rsqrt(jnp.maximum(sq, 1e-24)).T
 
     attn = _finish_scores(
-        scores, _inv_norm(q), _inv_norm(k), temperature, heads, w_proj, normalize_qk
+        scores,
+        _inv_norm(q) if normalize_qk else None,
+        _inv_norm(k) if normalize_qk else None,
+        temperature, heads, w_proj, normalize_qk,
     )
     # no preferred_element_type: the MXU accumulates fp32 internally and
     # rounds once to the output dtype — requesting f32 out materializes an

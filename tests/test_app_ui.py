@@ -47,7 +47,9 @@ def test_page_carries_every_reference_control(server):
     html = urllib.request.urlopen(f"{server}/", timeout=10).read().decode()
     for control in ("gamma", "alpha_s", "alpha_i", "weights", "score", "/enhance"):
         assert control in html
-    assert "<random init>" in html  # runnable without weight files
+    # runnable without weight files; the label is HTML-escaped (an unescaped
+    # "<random init>" parses as an unknown tag and renders blank)
+    assert "&lt;random init&gt;" in html
 
 
 def test_unknown_path_is_404(server):
@@ -81,3 +83,15 @@ def test_enhance_roundtrip_runs_model(server):
     out = Image.open(io.BytesIO(base64.b64decode(reply["image"])))
     assert out.size == img.size  # padded inside, cropped back
     assert np.asarray(out).shape == (16, 24, 3)
+
+
+def test_arbitrary_weights_path_rejected(server):
+    """The weights query param is client-controlled; only entries the page
+    itself offered may load (no arbitrary-path .pth deserialization)."""
+    req = urllib.request.Request(
+        f"{server}/enhance?weights=/tmp/attacker.pth", data=b"x", method="POST"
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+    assert "unknown weights" in json.loads(e.value.read().decode())["error"]
