@@ -97,3 +97,16 @@ def test_param_count_matches_paper():
 
     params = init_cidnet(jax.random.PRNGKey(0), CIDNetConfig(variant="base"))
     assert count_params(params) == 1_975_569
+
+
+def test_forward_golden_with_ncb_feed_seam():
+    """ATTN_NCB_FEED is the same contraction from a flattened view — the
+    full forward must reproduce the stored golden (quick-lane tripwire for
+    the seam staying exact through refactors)."""
+    from hvi_cidnet_tpu.ops.pallas_gate import kernel_flags
+
+    cfg = tiny()
+    params = init_cidnet(jax.random.PRNGKey(42), cfg)
+    with kernel_flags(attn_ncb_feed=True):
+        out = np.asarray(cidnet_forward(params, fixed_input(), cfg))
+    _check(out, GOLDEN["base"])
