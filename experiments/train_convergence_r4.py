@@ -15,6 +15,24 @@ image:
 and reports held-out PSNR(model(low), high) against the identity baseline
 PSNR(low, high).  Pass = final val PSNR beats the baseline by >= 3 dB.
 
+Measured verdicts (CPU, crop 32, batch 8):
+
+* base:  PASS — +16.0 dB over identity in 300 steps (8.74 -> 24.78),
+  results/train_convergence_r4.log.
+* tnsm:  NOT demonstrable at this scale — the untrained model's sigmoid
+  noise gates emit a near-black output at init (mean 0.03) and training
+  drives it to exactly 0 within ~25 steps at lr 4e-4, 1e-4, and 1e-4 with
+  100-step warmup alike.  This is REFERENCE-FAITHFUL dynamics, not a port
+  bug: the same collapse reproduces when initializing from a torch-native
+  ``CIDNet_TNSM().state_dict()`` (step 0 mean 0.015 -> step 25 mean 4e-5),
+  the graph/losses are torch-parity-tested at 2e-5, and gradient flow is
+  intact (overfit-one-batch drops loss 3.94 -> 1.03 in 10 steps; only the
+  I_LCA5 params stay frozen — the reference's own quirk (b) discards that
+  block's output).  The reference trains TNSM from scratch on real corpora
+  for hundreds of warmup+cosine epochs (train_tnsm.py:167,183), a horizon
+  this CPU experiment cannot simulate.
+
+
 CPU-runnable (this is a correctness experiment, not a perf one):
 
   python experiments/train_convergence_r4.py --cpu --steps 200
@@ -75,6 +93,13 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=4e-4)
     ap.add_argument("--report_every", type=int, default=25)
     ap.add_argument("--min_gain_db", type=float, default=3.0)
+    ap.add_argument("--variant", default="base", choices=["base", "mssa", "tnsm"],
+                    help="tnsm additionally trains the noise-consistency/"
+                         "smoothing losses end-to-end (train_tnsm.py:68-72)")
+    ap.add_argument("--warmup_steps", type=int, default=0,
+                    help="linear lr ramp 0 -> lr over this many steps (the "
+                         "reference's GradualWarmupScheduler, per-step "
+                         "granularity)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -98,7 +123,7 @@ def main() -> int:
     print(f"identity baseline: {baseline:.2f} dB PSNR on {args.val} held-out crops")
 
     cfg = TrainConfig(
-        model=CIDNetConfig(variant="base"),
+        model=CIDNetConfig(variant=args.variant),
         lr=args.lr,
         use_perceptual=False,
         compute_dtype="float32",
@@ -110,11 +135,20 @@ def main() -> int:
 
     @jax.jit
     def infer(p, x):
-        return jnp.clip(cidnet_forward(p, x, cfg.model), 0.0, 1.0)
+        out = cidnet_forward(p, x, cfg.model)
+        if cfg.model.variant == "tnsm":
+            out = out[0]  # eval mode returns (rgb, None)
+        return jnp.clip(out, 0.0, 1.0)
+
+    from hvi_cidnet_tpu.train.trainer import set_learning_rate
 
     gamma = jnp.float32(1.0)
     t0 = time.time()
     for i in range(1, args.steps + 1):
+        if args.warmup_steps and i <= args.warmup_steps + 1:
+            opt_state = set_learning_rate(
+                opt_state, args.lr * min(1.0, (i - 1) / args.warmup_steps)
+            )
         low, high = make_pairs(rng, img, args.batch, args.crop)
         params, opt_state, loss, _ = step(
             params, opt_state, jnp.asarray(low), jnp.asarray(high), gamma, None
