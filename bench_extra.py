@@ -196,7 +196,10 @@ def main() -> None:
         # record the failure in the artifact, continue with the next graph
         try:
             result = retry_loop(
-                lambda g=graph: run_child(g, timeout), budget, metric=f"graph:{graph}"
+                lambda g=graph: run_child(g, timeout),
+                budget,
+                base_delay=float(os.environ.get("BENCH_BASE_DELAY", "5")),
+                metric=f"graph:{graph}",
             )
         except SystemExit:
             failed += 1
