@@ -163,6 +163,7 @@ def main():
         gamma_aug=opt.gamma,
         start_gamma=opt.start_gamma,
         end_gamma=opt.end_gamma,
+        remat=opt.remat,
     )
 
     log("===> Loading datasets")

@@ -54,6 +54,12 @@ class TrainConfig:
     gamma_aug: bool = False
     start_gamma: int = 60
     end_gamma: int = 120
+    # rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for not keeping the UNet's
+    # activations live through the loss — the TPU-native lever for big
+    # crops/batches that would otherwise exceed HBM.  Exact (same ops,
+    # recomputed); guarded by a grad-equality test.
+    remat: bool = False
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -97,7 +103,10 @@ def composite_loss(
     mcfg = config.model
     x = jnp.power(low, gamma).astype(cdt) if config.gamma_aug else low.astype(cdt)
 
-    out = cidnet_forward(params, x, mcfg, HVIGates(), compute_dtype=cdt, training=True)
+    def _fwd(params, x):
+        return cidnet_forward(params, x, mcfg, HVIGates(), compute_dtype=cdt, training=True)
+
+    out = (jax.checkpoint(_fwd) if config.remat else _fwd)(params, x)
     noise_map = None
     if mcfg.variant == "tnsm":
         output_rgb, noise_map = out

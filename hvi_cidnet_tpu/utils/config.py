@@ -118,6 +118,11 @@ def option() -> argparse.ArgumentParser:
     p.add_argument("--variant", type=str, default="mssa", choices=["base", "mssa", "tnsm"],
                    help="model variant (the fork trains MSSA by default, train.py:10)")
     p.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--remat", type=str2bool, default=False,
+                   help="rematerialize the forward in the backward "
+                        "(jax.checkpoint): ~1 extra forward of FLOPs for a "
+                        "much smaller live-activation footprint — enables "
+                        "crops/batches that would otherwise exceed HBM")
     p.add_argument("--use_perceptual", type=str2bool, default=True)
     p.add_argument("--vgg_weights", type=str, default="experiments/pretrained_models/vgg19.pth",
                    help="local torchvision-format VGG19 weights for P_loss")

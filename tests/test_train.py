@@ -185,3 +185,26 @@ def test_data_parallel_mesh_8dev():
     # params stay replicated after the update
     w = params["IE_block0.1.weight"]
     assert w.sharding.is_fully_replicated
+
+
+def test_remat_loss_and_grads_exact():
+    """--remat (jax.checkpoint on the forward) must be numerically exact:
+    same ops, recomputed instead of stored."""
+    from hvi_cidnet_tpu.train.trainer import composite_loss
+
+    params = init_cidnet(jax.random.PRNGKey(5), TINY)
+    low, high = _batch(seed=7)
+    gamma = jnp.asarray(1.0)
+
+    def run(remat):
+        cfg = _cfg(remat=remat)
+        (loss, _), grads = jax.value_and_grad(composite_loss, has_aux=True)(
+            params, low, high, gamma, None, cfg
+        )
+        return float(loss), grads
+
+    loss_a, g_a = run(False)
+    loss_b, g_b = run(True)
+    assert loss_a == loss_b
+    for k in g_a:
+        np.testing.assert_allclose(np.asarray(g_b[k]), np.asarray(g_a[k]), rtol=1e-6, atol=1e-7)
