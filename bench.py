@@ -17,6 +17,9 @@ Env knobs:
   BENCH_BATCH / BENCH_ITERS       measurement geometry (default 128 / 8)
   BENCH_RETRY_SECONDS             total retry budget (default 1800)
   BENCH_ATTEMPT_TIMEOUT           per-attempt wall limit (default 600)
+  BENCH_STARTUP_TIMEOUT           kill a child with NO output yet (default 180)
+  BENCH_IDLE_TIMEOUT              kill a child whose output STOPPED (default 300)
+  BENCH_BASE_DELAY                first retry backoff (default 5)
 
 The attempt timeout must be SMALLER than the retry budget: the worst tunnel
 failure mode is a child that prints the axon platform warning (so the startup
