@@ -19,7 +19,21 @@ Env knobs:
   BENCH_ATTEMPT_TIMEOUT           per-attempt wall limit (default 600)
   BENCH_STARTUP_TIMEOUT           kill a child with NO output yet (default 180)
   BENCH_IDLE_TIMEOUT              kill a child whose output STOPPED (default 300)
+  BENCH_HEARTBEAT                 child liveness-line interval (default 45)
   BENCH_BASE_DELAY                first retry backoff (default 5)
+  HVI_COMPILE_CACHE               persistent XLA compile cache dir (shared
+                                  across retries: an attempt that dies after
+                                  compiling leaves the next one a cache hit)
+
+Idle-watchdog semantics: the child emits a liveness heartbeat every
+$BENCH_HEARTBEAT seconds from a daemon thread, so a *healthy but slow*
+phase (the first big-program compile through the remote tunnel can exceed
+5 minutes) never trips the idle watchdog — observed live this round: the
+watchdog killed a child 240 s into a legitimate compile.  The watchdog now
+fires only when the child is wedged so hard the heartbeat thread cannot
+run (interpreter-level hang, GIL held by a dead device call); a live but
+stuck device call keeps heartbeating and is bounded by the attempt
+timeout instead.
 
 The attempt timeout must be SMALLER than the retry budget: the worst tunnel
 failure mode is a child that prints the axon platform warning (so the startup
@@ -55,13 +69,47 @@ RETRYABLE = re.compile(
 )
 
 
+def start_heartbeat(phase: dict) -> None:
+    """Liveness heartbeat for measurement children (daemon thread).
+
+    Prints ``bench: alive t=..s phase=..`` to stderr every $BENCH_HEARTBEAT
+    (default 45 s) so the parent's idle watchdog distinguishes a slow-but-
+    healthy phase (long tunnel compile) from a wedged interpreter.  Callers
+    mutate ``phase["name"]`` at each phase transition so a hung attempt's
+    last heartbeat names where it died.
+    """
+    import threading
+
+    interval = float(os.environ.get("BENCH_HEARTBEAT", "45"))
+    t0 = time.monotonic()
+
+    def beat():
+        while True:
+            time.sleep(interval)
+            print(
+                f"bench: alive t={time.monotonic() - t0:.0f}s phase={phase['name']}",
+                file=sys.stderr,
+                flush=True,
+            )
+
+    threading.Thread(target=beat, daemon=True).start()
+
+
 def measure() -> dict:
     """The actual single-chip measurement (runs in the child process)."""
+    phase = {"name": "backend-init"}
+    start_heartbeat(phase)
+
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
+    from hvi_cidnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache = enable_compilation_cache()
+    if cache:
+        print(f"bench: compile cache at {cache}", file=sys.stderr, flush=True)
 
     # batch 128 ~doubles throughput vs 32 (per-op overheads amortize);
     # 192+ exceeds the 16 GB HBM at 600x400.
@@ -95,8 +143,10 @@ def measure() -> dict:
         final, _ = jax.lax.scan(body, jnp.bfloat16(0.0), None, length=iters)
         return final
 
+    phase["name"] = "compile+warmup"
     print("bench: compiling + warmup", file=sys.stderr, flush=True)
     _ = float(loop(params, x))  # compile + warmup
+    phase["name"] = "measure"
     print("bench: measuring", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     _ = float(loop(params, x))

@@ -163,6 +163,17 @@ def measure_train() -> dict:
 
 
 def measure(graph: str) -> dict:
+    # liveness heartbeat + persistent compile cache, same contract as
+    # bench.measure (slow tunnel compiles must not trip the idle watchdog;
+    # an attempt that dies after compiling leaves the next one a cache hit)
+    from bench import start_heartbeat
+
+    start_heartbeat({"name": f"graph:{graph}"})
+    from hvi_cidnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache = enable_compilation_cache()
+    if cache:
+        print(f"bench_extra: compile cache at {cache}", file=sys.stderr, flush=True)
     return measure_train() if graph == "train" else measure_serving(graph)
 
 
