@@ -164,6 +164,7 @@ def main():
         start_gamma=opt.start_gamma,
         end_gamma=opt.end_gamma,
         remat=opt.remat,
+        grad_accum=opt.grad_accum,
     )
 
     log("===> Loading datasets")

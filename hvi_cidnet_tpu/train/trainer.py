@@ -60,6 +60,16 @@ class TrainConfig:
     # crops/batches that would otherwise exceed HBM.  Exact (same ops,
     # recomputed); guarded by a grad-equality test.
     remat: bool = False
+    # gradient accumulation: split the batch into this many equal
+    # microbatches, lax.scan forward+backward over them, apply ONE optimizer
+    # update on the averaged gradients.  Every composite-loss term is a
+    # batch mean, so equal-sized microbatch-mean gradients equal the
+    # full-batch gradients exactly (up to float reassociation) — guarded by
+    # a params-equality test.  The other memory lever beside remat: live
+    # activations scale with batch/grad_accum while the effective batch
+    # (and the update math) stays fixed.  Composes with remat and with the
+    # mesh shard_map step (each microbatch still shards over the data axis).
+    grad_accum: int = 1
 
 
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
@@ -203,14 +213,44 @@ def make_train_step(
     else:
         grads_call = grads_fn
 
+    accum = max(int(config.grad_accum), 1)
+
     def step(params, opt_state, low, high, gamma, vgg_params):
-        if mesh is not None and low.shape[0] % mesh.size:
+        if accum > 1 and low.shape[0] % accum:
             raise ValueError(
-                f"global batch {low.shape[0]} must be divisible by the "
-                f"{mesh.size}-device mesh for the shard_map train step — "
-                "choose --batchSize as a multiple of the device count"
+                f"batch {low.shape[0]} must be divisible by "
+                f"--grad_accum {accum}"
             )
-        loss, out, grads = grads_call(params, low, high, gamma, vgg_params)
+        if mesh is not None and (low.shape[0] // accum) % mesh.size:
+            raise ValueError(
+                f"microbatch {low.shape[0] // accum} (batch {low.shape[0]}"
+                f" / grad_accum {accum}) must be divisible by the "
+                f"{mesh.size}-device mesh for the shard_map train step — "
+                "choose --batchSize as a multiple of devices * grad_accum"
+            )
+        if accum > 1:
+            micro = low.shape[0] // accum
+            lows = low.reshape(accum, micro, *low.shape[1:])
+            highs = high.reshape(accum, micro, *high.shape[1:])
+
+            def body(acc, xs):
+                lo, hi = xs
+                loss_i, out_i, grads_i = grads_call(params, lo, hi, gamma, vgg_params)
+                loss_a, grads_a = acc
+                return (
+                    loss_a + loss_i.astype(jnp.float32),
+                    jax.tree.map(jnp.add, grads_a, grads_i),
+                ), out_i
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            (loss, grads), outs = jax.lax.scan(
+                body, (jnp.float32(0.0), zeros), (lows, highs)
+            )
+            loss = loss / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
+            out = outs.reshape(low.shape[0], *outs.shape[2:])
+        else:
+            loss, out, grads = grads_call(params, low, high, gamma, vgg_params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, out

@@ -123,6 +123,13 @@ def option() -> argparse.ArgumentParser:
                         "(jax.checkpoint): ~1 extra forward of FLOPs for a "
                         "much smaller live-activation footprint — enables "
                         "crops/batches that would otherwise exceed HBM")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="split each batch into N equal microbatches, "
+                        "accumulate gradients over a lax.scan, apply one "
+                        "optimizer update on their mean — exact (all loss "
+                        "terms are batch means), so the effective batch "
+                        "stays --batchSize while live activations shrink "
+                        "by N; composes with --remat and the device mesh")
     p.add_argument("--use_perceptual", type=str2bool, default=True)
     p.add_argument("--vgg_weights", type=str, default="experiments/pretrained_models/vgg19.pth",
                    help="local torchvision-format VGG19 weights for P_loss")

@@ -208,3 +208,68 @@ def test_remat_loss_and_grads_exact():
     assert loss_a == loss_b
     for k in g_a:
         np.testing.assert_allclose(np.asarray(g_b[k]), np.asarray(g_a[k]), rtol=1e-6, atol=1e-7)
+
+
+def test_grad_accum_exact_vs_full_batch():
+    """--grad_accum N must reproduce the full-batch step exactly: every
+    composite-loss term is a batch mean, so equal-sized microbatch-mean
+    gradients equal the full-batch gradients up to float reassociation."""
+    params0 = init_cidnet(jax.random.PRNGKey(11), TINY)
+    low, high = _batch(n=4, seed=13)
+    gamma = jnp.asarray(1.0)
+
+    def run(accum):
+        cfg = _cfg(grad_accum=accum)
+        opt = make_optimizer(cfg)
+        params, opt_state = params0, opt.init(params0)
+        step = make_train_step(cfg, opt)
+        for _ in range(2):
+            params, opt_state, loss, out = step(params, opt_state, low, high, gamma, None)
+        return float(loss), params, out
+
+    loss1, p1, out1 = run(1)
+    for accum in (2, 4):
+        la, pa, outa = run(accum)
+        assert la == pytest.approx(loss1, rel=1e-6)
+        for k in p1:
+            np.testing.assert_allclose(
+                np.asarray(pa[k]), np.asarray(p1[k]), rtol=1e-5, atol=1e-7,
+                err_msg=f"param {k} diverges at grad_accum={accum}",
+            )
+        # the stacked-microbatch output reassembles to the full batch
+        assert outa.shape == out1.shape
+        np.testing.assert_allclose(np.asarray(outa), np.asarray(out1), rtol=1e-5, atol=1e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    cfg = _cfg(grad_accum=3)
+    params = init_cidnet(jax.random.PRNGKey(11), TINY)
+    opt = make_optimizer(cfg)
+    step = make_train_step(cfg, opt)
+    low, high = _batch(n=4, seed=13)
+    with pytest.raises(ValueError, match="grad_accum"):
+        step(params, opt.init(params), low, high, jnp.asarray(1.0), None)
+
+
+def test_grad_accum_on_mesh_matches_single():
+    """grad_accum composes with the shard_map DP step: each microbatch still
+    shards over the data axis and the result equals the accum-free step."""
+    assert jax.device_count() >= 8, "conftest must fake 8 cpu devices"
+    mesh = make_mesh(axis_names=("data",))
+    params0 = shard_params(init_cidnet(jax.random.PRNGKey(11), TINY), mesh)
+    low, high = _batch(n=16, seed=13)
+    bs = batch_sharding(mesh)
+    low, high = jax.device_put(low, bs), jax.device_put(high, bs)
+
+    def run(accum):
+        cfg = _cfg(grad_accum=accum)
+        opt = make_optimizer(cfg)
+        step = make_train_step(cfg, opt, mesh=mesh)
+        params, opt_state, loss, _ = step(params0, opt.init(params0), low, high, jnp.asarray(1.0), None)
+        return float(loss), params
+
+    loss1, p1 = run(1)
+    loss2, p2 = run(2)
+    assert loss2 == pytest.approx(loss1, rel=1e-6)
+    for k in p1:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]), rtol=1e-5, atol=1e-7)
