@@ -81,6 +81,12 @@ def start_heartbeat(phase: dict) -> None:
     import threading
 
     interval = float(os.environ.get("BENCH_HEARTBEAT", "45"))
+    # clamp below the parent's idle watchdog: a heartbeat interval at or
+    # above BENCH_IDLE_TIMEOUT would get healthy children killed by the very
+    # watchdog the heartbeat exists to appease (ADVICE r4).  With heartbeats
+    # on, the idle watchdog only catches interpreter-level wedges; a hung
+    # device call is bounded by BENCH_ATTEMPT_TIMEOUT.
+    interval = min(interval, float(os.environ.get("BENCH_IDLE_TIMEOUT", "300")) / 2)
     t0 = time.monotonic()
 
     def beat():
@@ -115,6 +121,11 @@ def measure() -> dict:
     # 192+ exceeds the 16 GB HBM at 600x400.
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     iters = int(os.environ.get("BENCH_ITERS", "8"))
+    # BENCH_INPUT_LAYOUT=hwcb: the serving contract where the host pipeline
+    # packs batches straight into the model's internal (H,W,3,B) layout —
+    # the device program then contains no NHWC boundary relayouts (the
+    # round-3 profile attributed ~40 ms/fwd to NHWC packing alone)
+    layout = os.environ.get("BENCH_INPUT_LAYOUT", "nhwc")
     # stderr breadcrumbs: a hung attempt gets killed by the parent's timeout,
     # and the last line tells which phase (device claim / compile / measure)
     # the tunnel died in.
@@ -122,12 +133,14 @@ def measure() -> dict:
     cfg = CIDNetConfig(variant="base")
     params = init_cidnet(jax.random.PRNGKey(0), cfg)
     params = {k: (v.astype(jnp.bfloat16) if v.ndim == 4 else v) for k, v in params.items()}
-    x = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (batch, H, W, 3)), jnp.bfloat16
-    )
+    shape = (batch, H, W, 3) if layout == "nhwc" else (H, W, 3, batch)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, shape), jnp.bfloat16)
 
     def one(p, x):
-        return jnp.clip(cidnet_forward(p, x, cfg, compute_dtype=jnp.bfloat16), 0, 1)
+        out = cidnet_forward(
+            p, x, cfg, compute_dtype=jnp.bfloat16, input_layout=layout
+        )
+        return jnp.clip(out, 0, 1)
 
     # Sustained-throughput methodology: iterate INSIDE one jit program via
     # scan (chained so iterations can't collapse), because (a) the remote-TPU
@@ -153,8 +166,9 @@ def measure() -> dict:
     dt = (time.perf_counter() - t0) / iters
     throughput = batch / dt
 
+    tag = "" if layout == "nhwc" else f", {layout} input"
     return {
-        "metric": "600x400 images/sec/chip (bf16 CIDNet inference)",
+        "metric": f"600x400 images/sec/chip (bf16 CIDNet inference{tag})",
         "value": round(throughput, 2),
         "unit": "img/s",
         "vs_baseline": round(throughput / TARGET, 4),

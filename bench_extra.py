@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench import retry_loop, run_attempt  # noqa: E402
 
-GRAPHS = ("base", "mssa", "tnsm", "train")
+GRAPHS = ("base", "mssa", "tnsm", "train", "fullres_b1", "fullres_b8")
 # same geometry-override knobs as bench.py (and tiny-CPU smoke tests)
 H = int(os.environ.get("BENCH_H", "400"))
 W = int(os.environ.get("BENCH_W", "600"))
@@ -43,17 +43,17 @@ SERVE_TARGET = 1500.0
 TRAIN_BASELINE = 77.0
 
 
-def measure_serving(variant: str) -> dict:
+def measure_serving(variant: str, *, h: int = None, w: int = None, batch: int = None, min_batch: int = 16) -> dict:
     """Serving throughput at the headline geometry; on HBM OOM the batch
-    halves (floor 16) and the metric label records the reduced geometry —
-    tnsm materializes 12 full-res noise maps the base graph doesn't, and a
-    lost measurement is worse than a smaller-batch one."""
-    batch = BATCH
+    halves (floor ``min_batch``) and the metric label records the reduced
+    geometry — tnsm materializes 12 full-res noise maps the base graph
+    doesn't, and a lost measurement is worse than a smaller-batch one."""
+    batch = BATCH if batch is None else batch
     while True:
         try:
-            return _measure_serving_at(variant, batch)
+            return _measure_serving_at(variant, batch, h=h, w=w)
         except Exception as e:
-            if "RESOURCE_EXHAUSTED" in str(e) and batch > 16:
+            if "RESOURCE_EXHAUSTED" in str(e) and batch > min_batch:
                 print(
                     f"bench_extra: {variant} OOM at batch {batch}; retrying "
                     f"at {batch // 2}", file=sys.stderr,
@@ -63,17 +63,19 @@ def measure_serving(variant: str) -> dict:
             raise
 
 
-def _measure_serving_at(variant: str, batch: int) -> dict:
+def _measure_serving_at(variant: str, batch: int, *, h: int = None, w: int = None) -> dict:
     import numpy as np
     import jax
     import jax.numpy as jnp
 
     from hvi_cidnet_tpu.models.cidnet import CIDNetConfig, cidnet_forward, init_cidnet
 
+    h = H if h is None else h
+    w = W if w is None else w
     cfg = CIDNetConfig(variant=variant)
     params = init_cidnet(jax.random.PRNGKey(0), cfg)
     params = {k: (v.astype(jnp.bfloat16) if v.ndim == 4 else v) for k, v in params.items()}
-    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (batch, H, W, 3)), jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (batch, h, w, 3)), jnp.bfloat16)
 
     def one(p, xx):
         out = cidnet_forward(p, xx, cfg, compute_dtype=jnp.bfloat16)
@@ -99,12 +101,20 @@ def _measure_serving_at(variant: str, batch: int) -> dict:
         t0 = time.perf_counter()
         _ = float(loop(params, x))
         best = max(best, batch * ITERS / (time.perf_counter() - t0))
-    geom = "" if batch == BATCH else f", batch {batch} after OOM fallback"
+    if (h, w) == (H, W):
+        geom = "" if batch == BATCH else f", batch {batch} after OOM fallback"
+        target = SERVE_TARGET
+    else:
+        # non-headline geometry (the full-res LOL-Blur/SID 1280x720 arm,
+        # /root/reference/eval_SID_blur.py:44-73): compare against the
+        # pixel-rate-equivalent of the 600x400 north star
+        geom = f", batch {batch}"
+        target = SERVE_TARGET * (H * W) / (h * w)
     return {
-        "metric": f"600x400 images/sec/chip (bf16 {variant} serving{geom})",
+        "metric": f"{w}x{h} images/sec/chip (bf16 {variant} serving{geom})",
         "value": round(best, 2),
         "unit": "img/s",
-        "vs_baseline": round(best / SERVE_TARGET, 4),
+        "vs_baseline": round(best / target, 4),
     }
 
 
@@ -174,7 +184,16 @@ def measure(graph: str) -> dict:
     cache = enable_compilation_cache()
     if cache:
         print(f"bench_extra: compile cache at {cache}", file=sys.stderr, flush=True)
-    return measure_train() if graph == "train" else measure_serving(graph)
+    if graph == "train":
+        return measure_train()
+    if graph.startswith("fullres"):
+        # full-res serving evidence at the LOL-Blur geometry (BASELINE
+        # config 3; /root/reference/eval_SID_blur.py:44-73): b=1 is the
+        # reference's one-image-per-forward evaluator, b=8 the batched arm
+        return measure_serving(
+            "base", h=720, w=1280, batch=int(graph.rsplit("_b", 1)[1]), min_batch=1
+        )
+    return measure_serving(graph)
 
 
 def run_child(graph: str, timeout: float):

@@ -79,6 +79,15 @@ def route(ep):
         elif ep.best_PSNR:
             weights, alpha = "./weights/LOLv2_real/best_PSNR.pth", 0.8
         else:
+            # DELIBERATE deviation: the reference crashes on --lol_v2_real
+            # without a best_* flag (eval.py:107-117 leaves weight_path
+            # undefined); we default to the best_SSIM weights instead and
+            # say so, because a crash carries no information a default + a
+            # printed choice doesn't
+            if not ep.best_SSIM:
+                print("note: --lol_v2_real without --best_GT_mean/--best_PSNR/"
+                      "--best_SSIM defaults to the best_SSIM weights "
+                      "(the reference errors here)")
             weights, alpha = "./weights/LOLv2_real/best_SSIM.pth", 0.82
     elif ep.lol_v2_syn:
         eval_dir, out = "./datasets/LOLv2/Synthetic/Test/Low", "./output/LOLv2_syn/"

@@ -55,8 +55,15 @@ wait_up() {
 }
 
 commit_artifacts() {
-  git add results/r4_window BENCH_extra.json 2>/dev/null
-  git commit -q -m "$1" 2>>"$LOG/window.log" || true
+  # add each pathspec separately: a single 'git add a b' aborts ENTIRELY when
+  # any one pathspec is unmatched (e.g. BENCH_extra.json before bench_extra
+  # succeeds), silently staging nothing (ADVICE r4).  Return git's commit rc
+  # so callers only touch their done-markers when a commit actually landed.
+  local p
+  for p in results/r4_window BENCH_extra.json BENCH_r*.json MULTICHIP_r*.json; do
+    git add "$p" 2>>"$LOG/window.log" || true
+  done
+  git commit -q -m "$1" 2>>"$LOG/window.log"
 }
 
 step() {

@@ -164,7 +164,7 @@ def test_bench_extra_parent_writes_artifact(tmp_path, monkeypatch):
     bench_extra.main()
     lines = (tmp_path / "BENCH_extra.json").read_text().strip().splitlines()
     assert [json.loads(l)["metric"] for l in lines] == [
-        "g:base", "g:mssa", "g:tnsm", "g:train",
+        "g:base", "g:mssa", "g:tnsm", "g:train", "g:fullres_b1", "g:fullres_b8",
     ]
     for l in lines:
         obj = json.loads(l)
@@ -218,6 +218,8 @@ def test_bench_extra_survives_one_failed_graph(tmp_path, monkeypatch):
     with pytest.raises(SystemExit):
         bench_extra.main()
     lines = [json.loads(l) for l in out.read_text().strip().splitlines()]
-    assert len(lines) == 4
-    assert [l["metric"] for l in lines] == ["g:base", "g:mssa", "graph:tnsm", "g:train"]
+    assert len(lines) == 6
+    assert [l["metric"] for l in lines] == [
+        "g:base", "g:mssa", "graph:tnsm", "g:train", "g:fullres_b1", "g:fullres_b8",
+    ]
     assert "error" in lines[2]
