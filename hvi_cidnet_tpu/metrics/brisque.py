@@ -189,18 +189,35 @@ def _default_model_path() -> Optional[str]:
 
 
 def score(img: np.ndarray, model_path: Optional[str] = None) -> float:
-    """BRISQUE score (lower is better).  Needs the trained SVR model file.
+    """BRISQUE score (lower is better), from a trained model.
 
-    Feature scaling: libsvm BRISQUE models are trained on svm-scaled
-    features ([-1,1] per feature over the LIVE corpus); the companion range
-    file is auto-discovered next to the model (or via BRISQUE_RANGE).
+    Resolution order:
+
+    1. an explicit/env/bundled **libsvm** SVR model file (imquality's
+       ``brisque_svm.txt`` or the LIVE release's ``allmodel``) — scored by
+       the pure-Python reader above.  Feature scaling: libsvm BRISQUE models
+       are trained on svm-scaled features ([-1,1] per feature over the LIVE
+       corpus); the companion range file is auto-discovered next to the
+       model (or via BRISQUE_RANGE).
+    2. otherwise, the **native OpenCV backend** (metrics/brisque_cv.py) when
+       its C++ shim builds and the system ships the LIVE-R2-trained
+       ``brisque_model_live.yml`` — the same algorithm trained on the same
+       corpus as the reference's imquality scorer (measure_niqe_bris.py:4,26).
+
+    Raises FileNotFoundError when neither trained model is available.
     """
     path = model_path or _default_model_path()
     if path is None:
+        from hvi_cidnet_tpu.metrics import brisque_cv
+
+        if brisque_cv.available():
+            return brisque_cv.score(img)
         raise FileNotFoundError(
-            "BRISQUE needs the LIVE-trained libsvm model (imquality's "
-            "brisque_svm.txt); set BRISQUE_MODEL or pass model_path. "
-            "This environment has no network to fetch it."
+            "BRISQUE needs a trained model: either the LIVE libsvm SVR "
+            "(imquality's brisque_svm.txt; set BRISQUE_MODEL or pass "
+            "model_path) or the system OpenCV quality module with its "
+            "bundled brisque_model_live.yml. Neither is available, and this "
+            "environment has no network to fetch one."
         )
     feats = brisque_features(img)
     model = LibSVMModel(path)

@@ -19,11 +19,17 @@ def _smooth_img(hw=(192, 192), seed=0):
 
 
 def test_unpaired_metrics_niqe_and_graceful_brisque(tmp_path):
+    from hvi_cidnet_tpu.metrics import brisque_cv
+
     for i in range(2):
         Image.fromarray(_smooth_img(seed=i)).save(tmp_path / f"{i}.jpg")
     niqe, bris = unpaired_metrics(str(tmp_path / "*.jpg"), verbose=False)
     assert np.isfinite(niqe) and niqe > 0
-    assert np.isnan(bris)  # no SVR model file available offline
+    if brisque_cv.available():
+        # native OpenCV backend supplies the trained LIVE model
+        assert np.isfinite(bris)
+    else:
+        assert np.isnan(bris)  # no trained model available offline
 
 
 def test_unpaired_metrics_empty_glob(tmp_path):
