@@ -201,8 +201,11 @@ def main() -> None:
                 assert d < 0.15, f"{name} deviates {d} at {h}x{w}x{c}"
         print(f"-- site {h}x{w} c={c} heads={heads} b={BATCH}")
         for name, fn in ARMS.items():
-            tf = timed(fn, q, k, v, temp, wp, heads)
-            tg = timed_grad(fn, q, k, v, temp, wp, heads)
+            # close over heads: as a positional jit arg it would be traced,
+            # and the `if heads > 1` mask branch needs a Python int
+            fn2 = (lambda f, hd: lambda q, k, v, t, w: f(q, k, v, t, w, hd))(fn, heads)
+            tf = timed(fn2, q, k, v, temp, wp)
+            tg = timed_grad(fn2, q, k, v, temp, wp)
             totals_f[name] += tf
             totals_g[name] += tg
             print(f"   {name:8s} fwd {tf:7.3f} ms   fwd+bwd {tg:7.3f} ms", flush=True)

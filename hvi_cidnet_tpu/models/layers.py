@@ -30,6 +30,7 @@ from hvi_cidnet_tpu.ops.conv import (
 )
 from hvi_cidnet_tpu.ops.iel_pallas import iel_branch
 from hvi_cidnet_tpu.ops.norm_pallas import layer_norm_channels_fused
+from hvi_cidnet_tpu.ops.pallas_gate import kernel_flag
 from hvi_cidnet_tpu.ops.resize_pallas import double_bilinear, half_prelu
 # channel attention lives in ops/attention.py (XLA einsum path + per-batch
 # Pallas kernel behind a dispatching gate); re-exported for the model code
@@ -86,14 +87,32 @@ def norm_upsample(p: Params, prefix: str, x: jnp.ndarray, y: jnp.ndarray, *, use
 
     Reference NormUpsample (net/transformer_utils.py:50-70).
     """
-    x = conv3x3_same(x, p[prefix + ".up_scale.0.weight"])
-    # Pallas at lane-aligned batches: 48.4 -> 12.0 ms @L1
-    x = double_bilinear(x)
     # concat + 1x1 conv == sum of two 1x1 convs on the operands (weights
     # sliced at trace time) — skips materializing the 2C concat tensor
+    w3 = p[prefix + ".up_scale.0.weight"]
     w_up = p[prefix + ".up.weight"]
     cout = w_up.shape[-2] // 2
-    x = conv1x1(x, w_up[:, :, :cout, :]) + conv1x1(y, w_up[:, :, cout:, :])
+    if kernel_flag("upsample_fold"):
+        # The up-side 1x1 conv commutes with the bilinear x2 (per-pixel
+        # channel mixing vs per-channel spatial mixing, both linear):
+        # conv1x1(double(z), W1) == double(conv1x1(z, W1)).  Composing W1
+        # into the 3x3 conv's output channels at trace time therefore
+        # deletes the full-res pointwise conv — one HBM read+write of the
+        # block's LARGEST tensor — at zero FLOP/shape change to the 3x3.
+        # Exact up to fp reassociation (composition is done in fp32).
+        w3 = jnp.einsum(
+            "hwim,mo->hwio",
+            w3.astype(jnp.float32),
+            w_up[0, 0, :cout, :].astype(jnp.float32),
+        ).astype(w3.dtype)
+        x = conv3x3_same(x, w3)
+        # Pallas at lane-aligned batches: 48.4 -> 12.0 ms @L1
+        x = double_bilinear(x)
+        x = x + conv1x1(y, w_up[:, :, cout:, :])
+    else:
+        x = conv3x3_same(x, w3)
+        x = double_bilinear(x)
+        x = conv1x1(x, w_up[:, :, :cout, :]) + conv1x1(y, w_up[:, :, cout:, :])
     x = prelu(x, p[prefix + ".prelu.weight"])
     if use_norm:
         x = layer_norm(p, prefix + ".norm", x)

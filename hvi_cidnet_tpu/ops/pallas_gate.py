@@ -73,12 +73,23 @@ def force_interpret() -> bool:
 #   attn_pallas     ATTN_USE_PALLAS=0 needs worse transposes than XLA einsum
 #   ln_pallas       LN_USE_PALLAS=0   230 vs 242 img/s end-to-end
 #   iel_pallas      IEL_USE_PALLAS=0  148 vs 230 img/s end-to-end
-#   ln_stats_conv   LN_STATS_CONV=0   LN moments via C->1 ones-convs (MXU)
-#   attn_ncb_feed   ATTN_NCB_FEED=0   attention einsums fed (N,C,B) instead
+#   ln_stats_conv   LN_STATS_CONV=0   LN moments via C->1 ones-convs (MXU):
+#                                     231.5 vs 242.4 img/s (r5 window) — off
+#   attn_ncb_feed   ATTN_NCB_FEED=1   attention einsums fed (N,C,B) instead
 #                                     of (H,W,C,B) — same contraction, a
 #                                     different shape presented to XLA's
-#                                     layout assignment (train-feed A/B,
-#                                     VERDICT r3 item 7; not a kernel)
+#                                     layout assignment (not a kernel);
+#                                     249.7 vs 242.4 img/s serving, neutral
+#                                     at b=16 train geometry (r5 window): on
+#   upsample_fold   UPSAMPLE_FOLD=1   NormUpsample's up-side 1x1 conv
+#                                     composed into the 3x3 conv's weights
+#                                     at trace time (1x1 channel mixing
+#                                     commutes with the channel-independent
+#                                     bilinear x2) — deletes one full-res
+#                                     HBM pass per decoder block; exact up
+#                                     to fp reassociation (not a kernel);
+#                                     251.7 vs 242.4 img/s alone, 260.3
+#                                     with ncb_feed (r5 window): on
 #
 # Flags are read at TRACE time; ``set_kernel_flag``/``kernel_flags`` clear
 # the jit caches whenever a flip changes a flag's effective value, so
@@ -92,7 +103,8 @@ _FLAG_DEFAULTS = {
     "ln_pallas": ("LN_USE_PALLAS", False),
     "iel_pallas": ("IEL_USE_PALLAS", False),
     "ln_stats_conv": ("LN_STATS_CONV", False),
-    "attn_ncb_feed": ("ATTN_NCB_FEED", False),
+    "attn_ncb_feed": ("ATTN_NCB_FEED", True),
+    "upsample_fold": ("UPSAMPLE_FOLD", True),
 }
 _flag_overrides: dict = {}
 

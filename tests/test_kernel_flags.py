@@ -56,6 +56,59 @@ def test_env_value_parsing(monkeypatch):
         kernel_flag("hvi_pallas")
 
 
+def test_upsample_fold_parity_forward_and_grad():
+    """UPSAMPLE_FOLD composes the up-side 1x1 conv into the 3x3 conv's
+    weights (conv1x1 commutes with the channel-independent bilinear x2);
+    both arms must agree to fp32 reassociation tolerance, values and
+    parameter gradients, including the skip/PReLU tail."""
+    from hvi_cidnet_tpu.models.layers import norm_upsample
+
+    rng = np.random.default_rng(0)
+    cin, cout = 6, 4
+    p = {
+        "U.up_scale.0.weight": jnp.asarray(rng.normal(size=(3, 3, cin, cout)), jnp.float32),
+        "U.up.weight": jnp.asarray(rng.normal(size=(1, 1, 2 * cout, cout)), jnp.float32),
+        "U.prelu.weight": jnp.asarray([0.25], jnp.float32),
+    }
+    x = jnp.asarray(rng.normal(size=(4, 6, cin, 2)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(8, 12, cout, 2)), jnp.float32)
+
+    with kernel_flags(upsample_fold=False):
+        ref = norm_upsample(p, "U", x, y)
+    with kernel_flags(upsample_fold=True):
+        out = norm_upsample(p, "U", x, y)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def loss(pp, flag):
+        with kernel_flags(upsample_fold=flag):
+            return jnp.sum(jnp.square(norm_upsample(pp, "U", x, y)))
+
+    g_on = jax.grad(lambda pp: loss(pp, True))(p)
+    g_off = jax.grad(lambda pp: loss(pp, False))(p)
+    for k in p:
+        np.testing.assert_allclose(
+            np.asarray(g_on[k]), np.asarray(g_off[k]), rtol=2e-4, atol=2e-4, err_msg=k
+        )
+
+
+def test_upsample_fold_removes_a_conv():
+    """The folded trace emits one fewer conv than the unfused one."""
+    from hvi_cidnet_tpu.models.layers import norm_upsample
+
+    p = {
+        "U.up_scale.0.weight": jnp.ones((3, 3, 6, 4), jnp.float32),
+        "U.up.weight": jnp.ones((1, 1, 8, 4), jnp.float32),
+        "U.prelu.weight": jnp.asarray([0.25], jnp.float32),
+    }
+    x = jnp.ones((4, 6, 6, 2), jnp.float32)
+    y = jnp.ones((8, 12, 4, 2), jnp.float32)
+    with kernel_flags(upsample_fold=True):
+        on = str(jax.make_jaxpr(lambda pp: norm_upsample(pp, "U", x, y))(p))
+    with kernel_flags(upsample_fold=False):
+        off = str(jax.make_jaxpr(lambda pp: norm_upsample(pp, "U", x, y))(p))
+    assert off.count("conv_general_dilated") - on.count("conv_general_dilated") == 1
+
+
 def test_ln_stats_conv_grad_matches_reduce_path():
     """The conv-stats arm is trainable: the raw bf16 stats conv with fp32
     accumulation has no jax transpose rule (mixed-dtype conv), so the seam
