@@ -349,9 +349,12 @@ def _forward_impl(
 
     k = p["trans.density_k"]
     with jax.named_scope("HVIT"):
-        if hwcb_io:
-            # x already (H,W,3,B): the transform runs in the internal layout
-            # with batch in lanes — no packing, no Pallas, no transposes
+        if hwcb_io and _hvi_pallas.should_use_pallas():
+            # x already (H,W,3,B): the fused kernel consumes and emits the
+            # internal layout with zero lane-crossing transposes
+            hvi = _hvi_pallas.rgb_to_hvi_pallas_hwcb_io(x, k).astype(compute_dtype)
+        elif hwcb_io:
+            # XLA transform in the internal layout with batch in lanes
             hvi = rgb_to_hvi(x, k, channel_axis=2).astype(compute_dtype)
         elif _hvi_pallas.should_use_pallas():
             # fused kernel emits the HWCB internal layout directly (skips the
@@ -459,7 +462,15 @@ def _forward_impl(
         output_hvi_hwcb = jnp.concatenate([hv_0, i_dec0], axis=CH_AXIS) + hvi  # :119
     # PHVIT consumed the detached scalar this_k (HVI_transform.py:38,59):
     with jax.named_scope("PHVIT"):
-        if hwcb_io:
+        if hwcb_io and _hvi_pallas.should_use_pallas():
+            # HWCB in AND out: the fused kernel runs with zero lane-crossing
+            # transposes (HWB plane order; B never leaves the lane dim)
+            output_rgb = _hvi_pallas.hvi_to_rgb_pallas_hwcb_io(
+                output_hvi_hwcb, jax.lax.stop_gradient(k),
+                gated=gates.gated, gated2=gates.gated2,
+                alpha=gates.alpha, alpha_s=gates.alpha_s,
+            )
+        elif hwcb_io:
             output_rgb = hvi_to_rgb(
                 output_hvi_hwcb,
                 jax.lax.stop_gradient(k),

@@ -300,6 +300,18 @@ def _to_planes_bhw(x_3bhw: jnp.ndarray):
 
 def _rgb_to_hvi_hwcb_impl(img, k, interpret):
     b, h, w, _ = img.shape
+    if kernel_flag("hvi_hwb_order"):
+        # HWB pixel order inside the planes: the transform is pointwise, so
+        # any pixel bijection works as long as pack and unpack agree.  BHW
+        # order needs TWO lane-crossing transposes per transform (C-minor ->
+        # W-minor on pack, W-minor -> B-minor on unpack); HWB order pays ONE
+        # crossing on the NHWC side and the HWCB-side unpack is then a
+        # major-dims-only move (B is already in lanes) — the 18 ms/fwd
+        # dynamic-update-slice boundary pool halves (dus_hunt_r5.py).
+        planes, n = _to_planes_bhw(jnp.transpose(img, (3, 1, 2, 0)))  # (3,H,W,B)
+        out = _run(_hvit_kernel, planes, k, interpret=interpret)
+        out = out.reshape(3, -1)[:, :n].reshape(3, h, w, b)
+        return jnp.transpose(out, (1, 2, 0, 3)).astype(img.dtype)  # (H, W, 3, B)
     planes, n = _to_planes_bhw(jnp.transpose(img, (3, 0, 1, 2)))
     out = _run(_hvit_kernel, planes, k, interpret=interpret)
     out = out.reshape(3, -1)[:, :n].reshape(3, b, h, w)
@@ -338,10 +350,17 @@ def rgb_to_hvi_pallas_hwcb(img: jnp.ndarray, k, *, interpret: Optional[bool] = N
 def _hvi_to_rgb_hwcb_impl(hvi_hwcb, k, gates, interpret):
     gated, gated2, alpha, alpha_s = gates
     h, w, _, b = hvi_hwcb.shape
-    planes, n = _to_planes_bhw(jnp.transpose(hvi_hwcb, (2, 3, 0, 1)))
     kern = functools.partial(
         _phvit_kernel, gated=gated, gated2=gated2, alpha=alpha, alpha_s=alpha_s
     )
+    if kernel_flag("hvi_hwb_order"):
+        # HWB pixel order: the HWCB-side pack is major-dims-only (B stays in
+        # lanes); the single lane crossing moves to the NHWC output side
+        planes, n = _to_planes_bhw(jnp.transpose(hvi_hwcb, (2, 0, 1, 3)))  # (3,H,W,B)
+        out = _run(kern, planes, k, interpret=interpret)
+        out = out.reshape(3, -1)[:, :n].reshape(3, h, w, b)
+        return jnp.transpose(out, (3, 1, 2, 0)).astype(hvi_hwcb.dtype)  # NHWC
+    planes, n = _to_planes_bhw(jnp.transpose(hvi_hwcb, (2, 3, 0, 1)))
     out = _run(kern, planes, k, interpret=interpret)
     out = out.reshape(3, -1)[:, :n].reshape(3, b, h, w)
     return jnp.transpose(out, (1, 2, 3, 0)).astype(hvi_hwcb.dtype)  # NHWC
@@ -385,6 +404,110 @@ def hvi_to_rgb_pallas_hwcb(
     if interpret is None:
         interpret = force_interpret()
     return _hvi_to_rgb_hwcb_p(
+        hvi_hwcb,
+        jnp.asarray(k, jnp.float32).reshape(()),
+        (bool(gated), bool(gated2), float(alpha), float(alpha_s)),
+        interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HWCB-in / HWCB-out wrappers (the hwcb serving contract, round 5)
+#
+# When BOTH sides are the model's internal (H,W,3,B) layout, HWB pixel
+# order makes every pack/unpack a major-dims-only move (B never leaves the
+# lane dim): the fused kernels run with ZERO lane-crossing transposes.
+# Before this, the hwcb-io arm fell back to the XLA transform because the
+# BHW-ordered kernels would have re-introduced the boundary crossings the
+# layout exists to avoid (models/cidnet.py input_layout="hwcb").
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_hvi_hwcb_io_impl(img_hwcb, k, interpret):
+    h, w, _, b = img_hwcb.shape
+    planes, n = _to_planes_bhw(jnp.transpose(img_hwcb, (2, 0, 1, 3)))  # (3,H,W,B)
+    out = _run(_hvit_kernel, planes, k, interpret=interpret)
+    out = out.reshape(3, -1)[:, :n].reshape(3, h, w, b)
+    return jnp.transpose(out, (1, 2, 0, 3)).astype(img_hwcb.dtype)  # (H,W,3,B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _rgb_to_hvi_hwcb_io_p(img, k, interpret):
+    return _rgb_to_hvi_hwcb_io_impl(img, k, interpret)
+
+
+def _rgb_hwcb_io_fwd(img, k, interpret):
+    return _rgb_to_hvi_hwcb_io_impl(img, k, interpret), (img, k)
+
+
+def _rgb_hwcb_io_bwd(interpret, res, ct):
+    img, k = res
+    _, vjp = jax.vjp(lambda i, kk: _ref.rgb_to_hvi(i, kk, channel_axis=2), img, k)
+    return vjp(ct)
+
+
+_rgb_to_hvi_hwcb_io_p.defvjp(_rgb_hwcb_io_fwd, _rgb_hwcb_io_bwd)
+
+
+def rgb_to_hvi_pallas_hwcb_io(img_hwcb: jnp.ndarray, k, *, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """HWCB RGB -> HWCB HVI, fused kernel, no lane-crossing transposes."""
+    if interpret is None:
+        interpret = force_interpret()
+    return _rgb_to_hvi_hwcb_io_p(img_hwcb, jnp.asarray(k, jnp.float32).reshape(()), interpret)
+
+
+def _hvi_to_rgb_hwcb_io_impl(hvi_hwcb, k, gates, interpret):
+    gated, gated2, alpha, alpha_s = gates
+    h, w, _, b = hvi_hwcb.shape
+    planes, n = _to_planes_bhw(jnp.transpose(hvi_hwcb, (2, 0, 1, 3)))
+    kern = functools.partial(
+        _phvit_kernel, gated=gated, gated2=gated2, alpha=alpha, alpha_s=alpha_s
+    )
+    out = _run(kern, planes, k, interpret=interpret)
+    out = out.reshape(3, -1)[:, :n].reshape(3, h, w, b)
+    return jnp.transpose(out, (1, 2, 0, 3)).astype(hvi_hwcb.dtype)  # (H,W,3,B)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _hvi_to_rgb_hwcb_io_p(hvi, k, gates, interpret):
+    return _hvi_to_rgb_hwcb_io_impl(hvi, k, gates, interpret)
+
+
+def _inv_hwcb_io_fwd(hvi, k, gates, interpret):
+    return _hvi_to_rgb_hwcb_io_impl(hvi, k, gates, interpret), (hvi, k)
+
+
+def _inv_hwcb_io_bwd(gates, interpret, res, ct):
+    hvi, k = res
+    gated, gated2, alpha, alpha_s = gates
+
+    def twin(hvi_hwcb, kk):
+        return _ref.hvi_to_rgb(
+            hvi_hwcb, kk, gated=gated, gated2=gated2, alpha=alpha,
+            alpha_s=alpha_s, channel_axis=2,
+        )
+
+    _, vjp = jax.vjp(twin, hvi, k)
+    return vjp(ct)
+
+
+_hvi_to_rgb_hwcb_io_p.defvjp(_inv_hwcb_io_fwd, _inv_hwcb_io_bwd)
+
+
+def hvi_to_rgb_pallas_hwcb_io(
+    hvi_hwcb: jnp.ndarray,
+    k,
+    *,
+    gated: bool = False,
+    gated2: bool = False,
+    alpha: float = 1.0,
+    alpha_s: float = 1.3,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """HWCB HVI -> HWCB RGB, fused kernel, no lane-crossing transposes."""
+    if interpret is None:
+        interpret = force_interpret()
+    return _hvi_to_rgb_hwcb_io_p(
         hvi_hwcb,
         jnp.asarray(k, jnp.float32).reshape(()),
         (bool(gated), bool(gated2), float(alpha), float(alpha_s)),

@@ -85,3 +85,21 @@ def test_forward_rejects_non_x8_extent():
     bad_hwcb = jnp.zeros((24, 20, 3, 1), jnp.float32)  # W=20 not x8
     with pytest.raises(ValueError, match="multiples of 8"):
         cidnet_forward(params, bad_hwcb, TINY, input_layout="hwcb")
+
+
+def test_forward_hwcb_pallas_io_matches_nhwc(monkeypatch):
+    """The hwcb-io Pallas arm (zero lane-crossing transposes, round 5) must
+    reproduce the NHWC forward exactly like the XLA hwcb arm does."""
+    monkeypatch.setenv("PALLAS_FORCE_INTERPRET", "1")
+    from hvi_cidnet_tpu.ops.hvi_pallas import should_use_pallas
+
+    assert should_use_pallas()  # interpret mode counts as executable
+    params = init_cidnet(jax.random.PRNGKey(0), TINY)
+    x = _x()
+    ref = cidnet_forward(params, x, TINY)  # NHWC path (Pallas, interpret)
+    got = cidnet_forward(
+        params, jnp.transpose(x, (1, 2, 3, 0)), TINY, input_layout="hwcb"
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(got, (3, 0, 1, 2))), np.asarray(ref), atol=3e-6
+    )
