@@ -90,11 +90,14 @@ def force_interpret() -> bool:
 #                                     to fp reassociation (not a kernel);
 #                                     251.7 vs 242.4 img/s alone, 260.3
 #                                     with ncb_feed (r5 window): on
-#   hvi_hwb_order   HVI_HWB_ORDER=0   HVI Pallas planes packed in HWB pixel
+#   hvi_hwb_order   HVI_HWB_ORDER=1   HVI Pallas planes packed in HWB pixel
 #                                     order instead of BHW — one lane-
 #                                     crossing transpose per transform
 #                                     instead of two (the DUS boundary
-#                                     pool, dus_hunt_r5.py); A/B pending
+#                                     pool, dus_hunt_r5.py); 273.9 vs
+#                                     260.2 img/s serving, and the HLO
+#                                     DUS pool drops to 4 tiny slices
+#                                     (r5 window D): on
 #
 # Flags are read at TRACE time; ``set_kernel_flag``/``kernel_flags`` clear
 # the jit caches whenever a flip changes a flag's effective value, so
@@ -110,7 +113,7 @@ _FLAG_DEFAULTS = {
     "ln_stats_conv": ("LN_STATS_CONV", False),
     "attn_ncb_feed": ("ATTN_NCB_FEED", True),
     "upsample_fold": ("UPSAMPLE_FOLD", True),
-    "hvi_hwb_order": ("HVI_HWB_ORDER", False),
+    "hvi_hwb_order": ("HVI_HWB_ORDER", True),
 }
 _flag_overrides: dict = {}
 
