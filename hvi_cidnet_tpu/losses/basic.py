@@ -14,6 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hvi_cidnet_tpu.ops.pallas_gate import kernel_flag
+
 
 def _reduce(loss: jnp.ndarray, weight, reduction: str) -> jnp.ndarray:
     """Weight + reduce semantics of loss_utils.weight_reduce_loss (:30-59)."""
@@ -52,11 +54,73 @@ def mse_loss(pred, target, weight=None, reduction="mean", loss_weight=1.0):
 
 
 @functools.lru_cache(maxsize=None)
+def _gaussian_taps(window_size: int = 11, sigma: float = 1.5) -> tuple:
+    """1-D normalized Gaussian taps (loss_utils.py:113-118)."""
+    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2))
+    return tuple((g / g.sum()).astype(np.float32).tolist())
+
+
+@functools.lru_cache(maxsize=None)
 def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     """1-D normalized Gaussian, outer-producted (loss_utils.py:113-122)."""
-    g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2) / (2 * sigma**2))
-    g = (g / g.sum()).astype(np.float32)
+    g = np.asarray(_gaussian_taps(window_size, sigma), np.float32)
     return np.outer(g, g)
+
+
+# ---------------------------------------------------------------------------
+# MXU blur seam (loss_blur_mxu / LOSS_BLUR_MXU)
+#
+# The loss blurs are depthwise convs: XLA lowers them to VPU elementwise
+# fusions at 121 (SSIM 11x11) / 25 (Edge 5x5) taps per pixel, and the r5
+# train-step attribution (experiments/train_attrib_r5.py) measured them at
+# ~57 ms of the 197 ms step (28%).  A separable 1-D SAME conv along one axis
+# is exactly a banded n x n matrix applied to that axis, so both blurs are
+# re-expressible as two einsum contractions that land on the MXU instead.
+# Padding semantics fold into the band matrix rows (zero pad: taps falling
+# outside [0,n) are dropped; replicate pad: they accumulate into the edge
+# rows), so the operator is IDENTICAL to the conv — only fp reassociation
+# differs (parity-tested in tests/test_losses.py).
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, taps: tuple, mode: str) -> np.ndarray:
+    """n x n matrix M with ``x @ M`` == 1-D SAME cross-correlation by taps."""
+    r = len(taps) // 2
+    m = np.zeros((n, n), np.float64)
+    for v in range(n):
+        for t, kv in enumerate(taps):
+            i = v + t - r
+            if mode == "zero":
+                if 0 <= i < n:
+                    m[i, v] += kv
+            elif mode == "replicate":
+                m[min(max(i, 0), n - 1), v] += kv
+            else:
+                raise ValueError(f"unknown pad mode {mode}")
+    return m.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _edge_composite_matrix(n: int) -> np.ndarray:
+    """Per-axis operator of the WHOLE Edge-loss band chain.
+
+    laplacian_response's blur -> subsample -> zero-stuff(x4) -> blur is
+    separable at every step, so along each axis it is G @ diag(even) @ G
+    with G the replicate-pad binomial5 band (the x4 is folded into the H
+    axis only — it is one scalar for the 2-D chain, not one per axis).
+    """
+    g = _band_matrix(n, tuple(_BINOMIAL5.tolist()), "replicate").astype(np.float64)
+    even = np.zeros(n, np.float64)
+    even[::2] = 1.0
+    return (g @ (even[:, None] * g)).astype(np.float32)
+
+
+def _axis_matmul(x: jnp.ndarray, mh: np.ndarray, mw: np.ndarray) -> jnp.ndarray:
+    """Apply per-axis operators over H then W of an NHWC tensor (MXU path)."""
+    hi = jax.lax.Precision.HIGHEST
+    y = jnp.einsum("bhwc,hu->buwc", x, jnp.asarray(mh), precision=hi)
+    return jnp.einsum("buwc,wv->buvc", y, jnp.asarray(mw), precision=hi)
 
 
 def _depthwise_same(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
@@ -77,13 +141,28 @@ def ssim_map_mean(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -
     """Mean SSIM map on [0,1] images, C1=0.01^2 C2=0.03^2 (loss_utils.py:125-145)."""
     x = img1.astype(jnp.float32)
     y = img2.astype(jnp.float32)
-    win = _gaussian_window(window_size)
-    mu1 = _depthwise_same(x, win)
-    mu2 = _depthwise_same(y, win)
-    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_same(x * x, win) - mu1_sq
-    s2 = _depthwise_same(y * y, win) - mu2_sq
-    s12 = _depthwise_same(x * y, win) - mu12
+    if kernel_flag("loss_blur_mxu"):
+        # One stacked blur of [x, y, x^2, y^2, xy] as two banded einsums.
+        taps = _gaussian_taps(window_size)
+        n_h, n_w = x.shape[1], x.shape[2]
+        mh = _band_matrix(n_h, taps, "zero")
+        mw = _band_matrix(n_w, taps, "zero")
+        stacked = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+        blurred = _axis_matmul(stacked, mh, mw)
+        c = x.shape[-1]
+        mu1, mu2, exx, eyy, exy = (
+            blurred[..., i * c : (i + 1) * c] for i in range(5)
+        )
+        mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1, s2, s12 = exx - mu1_sq, eyy - mu2_sq, exy - mu12
+    else:
+        win = _gaussian_window(window_size)
+        mu1 = _depthwise_same(x, win)
+        mu2 = _depthwise_same(y, win)
+        mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = _depthwise_same(x * x, win) - mu1_sq
+        s2 = _depthwise_same(y * y, win) - mu2_sq
+        s12 = _depthwise_same(x * y, win) - mu12
     c1, c2 = 0.01**2, 0.03**2
     ssim = ((2 * mu12 + c1) * (2 * s12 + c2)) / ((mu1_sq + mu2_sq + c1) * (s1 + s2 + c2))
     return jnp.mean(ssim)
@@ -121,8 +200,16 @@ def laplacian_response(img: jnp.ndarray) -> jnp.ndarray:
 
     Reference EdgeLoss.laplacian_kernel (losses.py:54-61): blur, take every
     2nd pixel, re-embed at even positions scaled by 4, blur again, subtract.
+
+    Under the ``loss_blur_mxu`` seam the whole band chain collapses to one
+    precomputed matrix per axis (see _edge_composite_matrix) — two MXU
+    einsums instead of two depthwise convs + a scatter.
     """
     x = img.astype(jnp.float32)
+    if kernel_flag("loss_blur_mxu"):
+        ch = 4.0 * _edge_composite_matrix(x.shape[1])
+        cw = _edge_composite_matrix(x.shape[2])
+        return x - _axis_matmul(x, ch, cw)
     filtered = _gauss5(x)
     down = filtered[:, ::2, ::2, :]
     new_filter = jnp.zeros_like(filtered)

@@ -98,6 +98,17 @@ def force_interpret() -> bool:
 #                                     260.2 img/s serving, and the HLO
 #                                     DUS pool drops to 4 tiny slices
 #                                     (r5 window D): on
+#   loss_blur_mxu   LOSS_BLUR_MXU=1   SSIM/Edge loss Gaussian blurs as
+#                                     banded-matrix einsums on the MXU
+#                                     instead of depthwise VPU convs; the
+#                                     Edge chain (blur/subsample/zero-
+#                                     stuff/blur) composes into one matrix
+#                                     per axis.  Same linear operator
+#                                     (pad semantics folded into the band
+#                                     rows), fp-reassociation only.  Train
+#                                     step 207.5 -> 125.9 ms (77.1 ->
+#                                     127.1 img/s, +65%) at config-4
+#                                     geometry (r5 train_mxu_blur.out): on
 #
 # Flags are read at TRACE time; ``set_kernel_flag``/``kernel_flags`` clear
 # the jit caches whenever a flip changes a flag's effective value, so
@@ -114,6 +125,7 @@ _FLAG_DEFAULTS = {
     "attn_ncb_feed": ("ATTN_NCB_FEED", True),
     "upsample_fold": ("UPSAMPLE_FOLD", True),
     "hvi_hwb_order": ("HVI_HWB_ORDER", True),
+    "loss_blur_mxu": ("LOSS_BLUR_MXU", True),
 }
 _flag_overrides: dict = {}
 

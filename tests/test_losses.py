@@ -94,6 +94,45 @@ def test_edge_loss_parity(torch_reference_path):
     np.testing.assert_allclose(lap_j, lap(ta).numpy(), atol=1e-6)
 
 
+@pytest.mark.parametrize("shape", [(2, 3, 24, 28), (1, 3, 37, 41)])
+def test_loss_blur_mxu_arm_matches_conv_arm(shape):
+    """loss_blur_mxu seam: banded-einsum blurs == depthwise-conv blurs.
+
+    Values and input-gradients of both SSIM and Edge losses must agree
+    between the arms up to fp reassociation (the band matrices encode the
+    exact same operator, incl. zero/replicate padding at the borders and
+    the Edge chain's composed subsample/zero-stuff step).  Odd sizes cover
+    the even-index mask edge case.
+    """
+    from hvi_cidnet_tpu.losses.basic import ssim_map_mean
+    from hvi_cidnet_tpu.ops.pallas_gate import kernel_flags
+
+    a, b = _pair(shape=shape, seed=7)
+    ja, jb = _nhwc(a), _nhwc(b)
+
+    def both(fn):
+        with kernel_flags(loss_blur_mxu=False):
+            ref = fn()
+        with kernel_flags(loss_blur_mxu=True):
+            got = fn()
+        return ref, got
+
+    ref, got = both(lambda: float(ssim_map_mean(ja, jb)))
+    assert abs(got - ref) < 2e-6
+
+    ref, got = both(lambda: np.asarray(laplacian_response(ja)))
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+    ref, got = both(lambda: float(edge_loss(ja, jb, loss_weight=50.0)))
+    assert abs(got - ref) < 2e-5
+
+    grad_fn = jax.grad(
+        lambda x: ssim_loss(x, jb, weight=0.5) + edge_loss(x, jb, loss_weight=50.0)
+    )
+    ref, got = both(lambda: np.asarray(grad_fn(ja)))
+    np.testing.assert_allclose(got, ref, atol=5e-4, rtol=2e-3)
+
+
 def test_vgg_feature_taps_are_preactivation():
     p = init_vgg(jax.random.PRNGKey(0))
     x = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (1, 32, 32, 3)), jnp.float32)
